@@ -1,0 +1,24 @@
+"""apex_tpu: a TPU-native deep-RL framework for continuous control of bipedal robots.
+
+A ground-up JAX/XLA re-design of the capabilities of osudrl/apex (reference:
+/root/reference). Where the reference pairs PyTorch learners with Ray-distributed
+CPU rollout workers stepping a C MuJoCo binding (reference apex.py, rl/algos/*,
+cassie/cassiemujoco/*), apex_tpu keeps the entire loop -- physics, environment
+logic, reward computation, GAE, and the SGD update -- inside a single jitted XLA
+program, vectorized over thousands of environments with `vmap` and sharded over
+device meshes with `shard_map`/`pjit`.
+
+Layout (mirrors SURVEY.md section 7):
+  core/      pytree dataclasses, config, rng plumbing
+  physics/   generalized-coordinate rigid-body engine (Featherstone, pure JAX)
+  envs/      Cassie env family + classic control envs, all pure functions
+  rewards/   clock/phase spline reward library (precomputed lookup tables)
+  models/    actor/critic networks as explicit parameter pytrees
+  agents/    PPO, TD3 (sync+interleaved-async), DDPG/RDPG, ARS
+  ops/       GAE scans, segment ops, pallas kernels
+  parallel/  mesh setup, env-axis sharding, collectives
+  runtime/   logging, checkpointing, experiment dirs, eval harnesses
+  utils/     quaternions, splines, misc
+"""
+
+__version__ = "0.1.0"

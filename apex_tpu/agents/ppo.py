@@ -1,0 +1,428 @@
+"""Proximal Policy Optimization, fused into a single jitted device program.
+
+Re-design of reference rl/algos/ppo.py (584 LoC of Ray workers + torch):
+  * sampling: vmapped env fleet scanned over time (rollout.py) instead of
+    `@ray.remote sample()` worker processes (ppo.py:139-237);
+  * returns/advantages: reverse lax.scan (ops/gae.py) instead of per-episode
+    python loops (ppo.py:73-89);
+  * update: epochs x minibatches as a lax.scan with KL early-stop carried as
+    a flag (ppo.py:407-451), clipped surrogate + critic MSE + entropy bonus +
+    mirror-symmetry loss (ppo.py:276-345);
+  * curriculum: std-dev annealing and termination-threshold ramp evaluated on
+    host between iterations from fetched scalars (ppo.py:374-387, 456-460).
+
+Hyperparameter defaults match reference apex.py:230-250.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import struct
+
+from apex_tpu.envs.base import Env, mirror_matrix, mirror_clock
+from apex_tpu.models import (
+    DiagGaussian,
+    FFV,
+    GaussianFFActor,
+    NormState,
+)
+from apex_tpu.ops.gae import discounted_returns, gae_advantages
+from apex_tpu.agents.rollout import (
+    Rollout,
+    RunnerState,
+    episode_stats,
+    init_runner,
+    rollout_scan,
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class PPOConfig:
+    """Static hyperparameters. Defaults = reference apex.py:230-250."""
+    num_envs: int = 64
+    num_steps: int = 5096          # timesteps per iteration (apex.py:245)
+    max_traj_len: int = 400        # apex.py:249
+    gamma: float = 0.99
+    lam: float = 0.95
+    lr: float = 1e-4
+    eps: float = 1e-5
+    clip: float = 0.2
+    entropy_coeff: float = 0.0
+    minibatch_size: int = 64
+    epochs: int = 3
+    max_grad_norm: float = 0.05
+    kl_max: float = 0.02           # early stop (ppo.py:449)
+    mirror_coeff: float = 0.4      # fixed in reference (ppo.py:318)
+    use_gae: bool = False          # reference PPOBuffer uses MC returns
+                                   # (ppo.py:73-89); GAE available
+    use_mirror: bool = True
+    anneal_rate: float = 1.0       # apex.py:237
+    std_dev: float = -1.5          # exponent (apex.py:240)
+    learn_stddev: bool = False
+    bounded: bool = False
+
+    @property
+    def rollout_len(self) -> int:
+        return max(1, self.num_steps // self.num_envs)
+
+
+@struct.dataclass
+class PPOTrainState:
+    actor: GaussianFFActor
+    critic: FFV
+    norm: NormState
+    actor_opt: Any
+    critic_opt: Any
+    runner: RunnerState
+    rng: jnp.ndarray
+
+
+@dataclasses.dataclass
+class PPO:
+    """Factory wiring an Env + PPOConfig into jitted train/eval steps."""
+    env: Env
+    config: PPOConfig
+
+    def __post_init__(self):
+        cfg = self.config
+        self.actor_tx = optax.chain(
+            optax.clip_by_global_norm(cfg.max_grad_norm),
+            optax.adam(cfg.lr, eps=cfg.eps),
+        )
+        self.critic_tx = optax.chain(
+            optax.clip_by_global_norm(cfg.max_grad_norm),
+            optax.adam(cfg.lr, eps=cfg.eps),
+        )
+        if cfg.use_mirror and self.env.mirrored_obs is not None:
+            self.obs_mirror = jnp.asarray(mirror_matrix(self.env.mirrored_obs))
+            self.act_mirror = jnp.asarray(mirror_matrix(self.env.mirrored_acts))
+        else:
+            self.obs_mirror = None
+            self.act_mirror = None
+        self._train_iter = jax.jit(self._train_iteration, donate_argnums=(0,),
+                                   static_argnames=())
+        self._eval_iter = jax.jit(self._evaluate)
+
+    # ------------------------------------------------------------------
+    # initialization
+    # ------------------------------------------------------------------
+    def init(self, seed: int) -> PPOTrainState:
+        cfg = self.config
+        rng = jax.random.PRNGKey(seed)
+        rng, k_actor, k_critic, k_runner = jax.random.split(rng, 4)
+        obs_dim, act_dim = self.env.observation_size, self.env.action_size
+        actor = GaussianFFActor.init(
+            k_actor, obs_dim, act_dim,
+            fixed_std=None if cfg.learn_stddev else float(np.exp(cfg.std_dev)),
+            bounded=cfg.bounded,
+        )
+        critic = FFV.init(k_critic, obs_dim)
+        norm = NormState.create(obs_dim)
+        runner = init_runner(self.env, k_runner, cfg.num_envs)
+        return PPOTrainState(
+            actor=actor,
+            critic=critic,
+            norm=norm,
+            actor_opt=self.actor_tx.init(actor.params),
+            critic_opt=self.critic_tx.init(critic.params),
+            runner=runner,
+            rng=rng,
+        )
+
+    def prenormalize(self, state: PPOTrainState, steps: int = 10000,
+                     noise_std: float = 1.0) -> PPOTrainState:
+        """Obs-normalizer burn-in with a noisy policy.
+
+        Reference get_normalization_params (rl/envs/normalize.py:35-48):
+        `input_norm_steps` (apex.py:231, default 10000) env steps driven by
+        the untrained policy with N(0,1) action noise; mean/std burned into
+        the policy. Here: one rollout of ceil(steps/num_envs) per env.
+        """
+        cfg = self.config
+        T = max(1, steps // cfg.num_envs)
+
+        def noisy_policy(rng, obs):
+            a = state.actor.act(state.norm, obs, deterministic=True)
+            return a + noise_std * jax.random.normal(rng, a.shape)
+
+        @jax.jit
+        def run(runner):
+            new_runner, traj = rollout_scan(self.env, noisy_policy, runner, T,
+                                            cfg.max_traj_len)
+            return new_runner, traj.obs
+
+        _, obs = run(state.runner)
+        norm = NormState.create(self.env.observation_size).update(obs)
+        # fresh runner so training starts from reset envs
+        rng, k = jax.random.split(state.rng)
+        runner = init_runner(self.env, k, cfg.num_envs)
+        return state.replace(norm=norm, runner=runner, rng=rng)
+
+    # ------------------------------------------------------------------
+    # core losses
+    # ------------------------------------------------------------------
+    def _policy_losses(self, actor: GaussianFFActor, norm, obs, action,
+                       advantage, old_log_prob, anneal):
+        cfg = self.config
+        mean, std = actor.dist(norm, obs, anneal)
+        log_prob = DiagGaussian.log_prob(mean, std, action).sum(-1)
+        ratio = jnp.exp(log_prob - old_log_prob)
+        cpi = ratio * advantage
+        clipped = jnp.clip(ratio, 1.0 - cfg.clip, 1.0 + cfg.clip) * advantage
+        actor_loss = -jnp.minimum(cpi, clipped).mean()
+        entropy = DiagGaussian.entropy(std).mean()
+        entropy_penalty = -cfg.entropy_coeff * entropy
+
+        if self.obs_mirror is not None:
+            # deterministic-action symmetry loss (ppo.py:301-320)
+            det_action, _ = actor.dist(norm, obs, anneal)
+            mir_obs = obs @ self.obs_mirror
+            if self.env.clock_inds:
+                mir_obs = mirror_clock(mir_obs, self.env.clock_inds)
+            mir_action, _ = actor.dist(norm, mir_obs, anneal)
+            mir_action = mir_action @ self.act_mirror
+            mirror_loss = cfg.mirror_coeff * ((det_action - mir_action) ** 2).mean()
+        else:
+            mirror_loss = jnp.zeros(())
+
+        total = actor_loss + mirror_loss + entropy_penalty
+        aux = {
+            "actor_loss": actor_loss,
+            "mirror_loss": mirror_loss,
+            "entropy": entropy,
+            "ratio": ratio.mean(),
+            "mean": mean,
+            "std": std,
+        }
+        return total, aux
+
+    def _minibatch_update(self, carry, batch, norm, anneal):
+        """One SGD step on one minibatch (reference update_policy,
+        ppo.py:276-345)."""
+        (actor, critic, actor_opt, critic_opt, stop) = carry
+        obs, action, ret, adv, old_lp, old_mean, old_std = batch
+
+        def actor_loss_fn(params):
+            a = actor.replace(params=params)
+            return self._policy_losses(a, norm, obs, action, adv,
+                                       old_lp, anneal)
+
+        def critic_loss_fn(params):
+            v = critic.replace(params=params).value(norm, obs)[..., 0]
+            return 0.5 * ((ret - v) ** 2).mean()
+
+        def do_update(_):
+            (actor_total, aux), a_grads = jax.value_and_grad(
+                actor_loss_fn, has_aux=True)(actor.params)
+            critic_loss, c_grads = jax.value_and_grad(critic_loss_fn)(critic.params)
+
+            a_updates, new_a_opt = self.actor_tx.update(a_grads, actor_opt,
+                                                        actor.params)
+            new_actor = actor.replace(
+                params=optax.apply_updates(actor.params, a_updates))
+            c_updates, new_c_opt = self.critic_tx.update(c_grads, critic_opt,
+                                                         critic.params)
+            new_critic = critic.replace(
+                params=optax.apply_updates(critic.params, c_updates))
+
+            kl = DiagGaussian.kl(aux["mean"], aux["std"], old_mean, old_std).mean()
+            metrics = jnp.stack([aux["actor_loss"], aux["entropy"], critic_loss,
+                                 aux["ratio"], kl, aux["mirror_loss"]])
+            return new_actor, new_critic, new_a_opt, new_c_opt, metrics
+
+        def skip(_):
+            zeros = jnp.zeros((6,))
+            return actor, critic, actor_opt, critic_opt, zeros
+
+        new_actor, new_critic, new_a_opt, new_c_opt, metrics = jax.lax.cond(
+            stop, skip, do_update, None)
+        return (new_actor, new_critic, new_a_opt, new_c_opt, stop), metrics
+
+    # ------------------------------------------------------------------
+    # one full training iteration (rollout + optimize), jitted
+    # ------------------------------------------------------------------
+    def _train_iteration(self, state: PPOTrainState, anneal: jnp.ndarray):
+        cfg = self.config
+
+        rng, k_perm = jax.random.split(state.rng)
+        state = state.replace(rng=rng)
+
+        # ---- sample (ppo.py:387) ----
+        def policy_fn(rng, obs):
+            return state.actor.act(state.norm, obs, rng=rng,
+                                   deterministic=False, anneal=anneal)
+
+        runner, traj = rollout_scan(self.env, policy_fn, state.runner,
+                                    cfg.rollout_len, cfg.max_traj_len)
+        T, B = traj.reward.shape
+
+        # ---- returns & advantages ----
+        values = state.critic.value(state.norm, traj.obs)[..., 0]      # (T, B)
+        next_values = state.critic.value(state.norm, traj.next_obs)[..., 0]
+        if cfg.use_gae:
+            advantages, returns = gae_advantages(
+                traj.reward, values, next_values, traj.terminated,
+                traj.truncated, cfg.gamma, cfg.lam)
+        else:
+            returns = discounted_returns(
+                traj.reward, traj.terminated, traj.truncated, next_values,
+                cfg.gamma)
+            advantages = returns - values
+        advantages = (advantages - advantages.mean()) / (advantages.std() + cfg.eps)
+
+        # ---- old-policy stats (ppo.py:285-287) ----
+        old_mean, old_std = state.actor.dist(state.norm, traj.obs, anneal)
+        old_log_prob = DiagGaussian.log_prob(old_mean, old_std,
+                                             traj.action).sum(-1)
+
+        # ---- flatten and minibatch (ppo.py:407-443) ----
+        N = T * B
+        mb = min(cfg.minibatch_size, N)
+        n_mb = N // mb
+
+        flat = (
+            traj.obs.reshape(N, -1),
+            traj.action.reshape(N, -1),
+            returns.reshape(N),
+            advantages.reshape(N),
+            old_log_prob.reshape(N),
+            old_mean.reshape(N, -1),
+            old_std.reshape(N, -1),
+        )
+
+        def epoch_body(carry, epoch_key):
+            actor, critic, a_opt, c_opt, stop = carry
+            perm = jax.random.permutation(epoch_key, N)[: n_mb * mb]
+            batches = jax.tree_util.tree_map(
+                lambda x: x[perm].reshape((n_mb, mb) + x.shape[1:]), flat)
+
+            def mb_body(c, b):
+                return self._minibatch_update(c, b, state.norm, anneal)
+
+            (actor, critic, a_opt, c_opt, stop), metrics = jax.lax.scan(
+                mb_body, (actor, critic, a_opt, c_opt, stop), batches)
+            # KL early stop: epoch-mean KL > kl_max stops subsequent epochs
+            # (ppo.py:449-451)
+            epoch_kl = metrics[:, 4].mean()
+            stop = jnp.logical_or(stop, epoch_kl > cfg.kl_max)
+            return (actor, critic, a_opt, c_opt, stop), metrics.mean(axis=0)
+
+        epoch_keys = jax.random.split(k_perm, cfg.epochs)
+        (actor, critic, a_opt, c_opt, _), epoch_metrics = jax.lax.scan(
+            epoch_body,
+            (state.actor, state.critic, state.actor_opt, state.critic_opt,
+             jnp.zeros((), bool)),
+            epoch_keys,
+        )
+
+        stats = episode_stats(traj)
+        metrics = {
+            "train_ep_return": stats["ep_return"],
+            "train_ep_len": stats["ep_len"],
+            "reward_per_step": stats["reward_per_step"],
+            "actor_loss": epoch_metrics[:, 0].mean(),
+            "entropy": epoch_metrics[:, 1].mean(),
+            "critic_loss": epoch_metrics[:, 2].mean(),
+            "ratio": epoch_metrics[:, 3].mean(),
+            "kl": epoch_metrics[:, 4].mean(),
+            "mirror_loss": epoch_metrics[:, 5].mean(),
+        }
+        new_state = state.replace(
+            actor=actor, critic=critic, actor_opt=a_opt, critic_opt=c_opt,
+            runner=runner,
+        )
+        return new_state, metrics
+
+    def _evaluate(self, state: PPOTrainState, rng):
+        """Deterministic eval (reference ppo.py:464). Runs a fresh fleet for
+        max_traj_len steps so every env completes >= 1 episode."""
+        cfg = self.config
+
+        def policy_fn(_, obs):
+            return state.actor.act(state.norm, obs, deterministic=True)
+
+        runner = init_runner(self.env, rng, cfg.num_envs)
+        _, traj = rollout_scan(self.env, policy_fn, runner,
+                               cfg.max_traj_len, cfg.max_traj_len)
+        return episode_stats(traj)
+
+    # ------------------------------------------------------------------
+    # host-side driver
+    # ------------------------------------------------------------------
+    def train(
+        self,
+        state: PPOTrainState,
+        n_itr: int,
+        logger=None,
+        save_fn: Optional[Callable[[PPOTrainState], None]] = None,
+        verbose: bool = True,
+    ) -> PPOTrainState:
+        """Outer loop: jitted iterations + host-side curriculum & logging
+        (reference PPO.train, ppo.py:347-505)."""
+        import time
+
+        cfg = self.config
+        highest_reward = -np.inf
+        total_steps = 0
+        curr_anneal = 1.0
+        ep_counter = 0
+        do_term = False  # term-threshold curriculum armed (ppo.py:456-460)
+        start_itr = 0
+        curr_thresh = 0.0
+
+        for itr in range(n_itr):
+            t0 = time.time()
+            # curriculum on host scalars (ppo.py:383-387)
+            if highest_reward > (2 / 3) * cfg.max_traj_len and curr_anneal > 0.5:
+                curr_anneal *= cfg.anneal_rate
+            if do_term and curr_thresh < 0.35:
+                curr_thresh = 0.1 * 1.0006 ** (itr - start_itr)
+
+            state, metrics = self._train_iter(state, jnp.asarray(curr_anneal))
+            metrics = {k: float(v) for k, v in metrics.items()}
+            total_steps += cfg.rollout_len * cfg.num_envs
+            sample_opt_time = time.time() - t0
+
+            rng_eval = jax.random.fold_in(jax.random.PRNGKey(0), itr)
+            eval_stats = self._eval_iter(state, rng_eval)
+            eval_ret = float(eval_stats["ep_return"])
+            eval_time = time.time() - t0 - sample_opt_time
+
+            if metrics["train_ep_len"] >= cfg.max_traj_len * 0.75:
+                ep_counter += 1
+            if not do_term and ep_counter > 50:
+                do_term = True
+                start_itr = itr
+
+            if verbose:
+                print(f"itr {itr:4d} | test {eval_ret:8.2f} | "
+                      f"train {metrics['train_ep_return']:8.2f} | "
+                      f"eplen {metrics['train_ep_len']:6.1f} | "
+                      f"kl {metrics['kl']:.4f} | "
+                      f"t {sample_opt_time:.2f}s")
+
+            if logger is not None:
+                logger.add_scalar("Test/Return", eval_ret, itr)
+                logger.add_scalar("Train/Return", metrics["train_ep_return"], itr)
+                logger.add_scalar("Train/Mean Eplen", metrics["train_ep_len"], itr)
+                logger.add_scalar("Train/Mean KL Div", metrics["kl"], itr)
+                logger.add_scalar("Train/Mean Entropy", metrics["entropy"], itr)
+                logger.add_scalar("Misc/Critic Loss", metrics["critic_loss"], itr)
+                logger.add_scalar("Misc/Actor Loss", metrics["actor_loss"], itr)
+                logger.add_scalar("Misc/Mirror Loss", metrics["mirror_loss"], itr)
+                logger.add_scalar("Misc/Timesteps", total_steps, itr)
+                logger.add_scalar("Misc/Sample Times", sample_opt_time, itr)
+                logger.add_scalar("Misc/Evaluation Times", eval_time, itr)
+                logger.add_scalar("Misc/Termination Threshold", curr_thresh, itr)
+
+            if eval_ret > highest_reward:
+                highest_reward = eval_ret
+                if save_fn is not None:
+                    save_fn(state)
+
+        return state
