@@ -1,0 +1,165 @@
+"""apex_tpu experiment launcher.
+
+CLI-compatible rebuild of the reference launcher (reference apex.py:16-255):
+same subcommands (ppo, td3_async, td3_sync, ddpg, rdpg, ars, eval) and flag
+names, dispatching to jitted on-device training loops instead of Ray worker
+pools. `--num_procs` is kept as an alias for the env-fleet size.
+"""
+import argparse
+import os
+import sys
+
+
+def _common_env_args(parser):
+    parser.add_argument("--env_name", default="Cassie-v0")
+    parser.add_argument("--simrate", default=50, type=int)
+    parser.add_argument("--command_profile", default="clock", type=str)
+    parser.add_argument("--input_profile", default="full", type=str)
+    parser.add_argument("--dyn_random", default=False, action="store_true")
+    parser.add_argument("--learn_gains", default=False, action="store_true")
+    parser.add_argument("--reward", default="early_clock", type=str)
+    parser.add_argument("--history", default=0, type=int)
+    parser.add_argument("--mirror", default=False, action="store_true")
+    parser.add_argument("--no_delta", default=True, action="store_true")
+    parser.add_argument("--ik_baseline", default=False, action="store_true")
+    parser.add_argument("--traj", default="walking", type=str)
+
+
+def _env_kwargs(args):
+    return dict(
+        simrate=args.simrate, command_profile=args.command_profile,
+        input_profile=args.input_profile,
+        dynamics_randomization=args.dyn_random,
+        learn_gains=args.learn_gains, reward=args.reward,
+        history=args.history, traj=getattr(args, "traj", "walking"),
+        no_delta=getattr(args, "no_delta", True),
+        ik_baseline=getattr(args, "ik_baseline", False),
+    )
+
+
+def main():
+    if len(sys.argv) < 2:
+        print("usage: apex.py {ppo,td3_sync,td3_async,ddpg,rdpg,ars,eval} ...")
+        sys.exit(1)
+    cmd = sys.argv[1]
+    sys.argv = [sys.argv[0]] + sys.argv[2:]
+    parser = argparse.ArgumentParser()
+
+    if cmd == "ppo":
+        # flags mirror reference apex.py:214-250
+        parser.add_argument("--logdir", type=str, default="./trained_models/ppo/")
+        parser.add_argument("--seed", default=0, type=int)
+        parser.add_argument("--previous", type=str, default=None)
+        parser.add_argument("--exchange_reward", default=None)
+        parser.add_argument("--run_name", default=None)
+        parser.add_argument("--input_norm_steps", type=int, default=10000)
+        parser.add_argument("--n_itr", type=int, default=10000)
+        parser.add_argument("--lr", type=float, default=1e-4)
+        parser.add_argument("--eps", type=float, default=1e-5)
+        parser.add_argument("--lam", type=float, default=0.95)
+        parser.add_argument("--gamma", type=float, default=0.99)
+        parser.add_argument("--anneal", default=1.0, type=float)
+        parser.add_argument("--learn_stddev", default=False, action="store_true")
+        parser.add_argument("--std_dev", type=float, default=-1.5)
+        parser.add_argument("--entropy_coeff", type=float, default=0.0)
+        parser.add_argument("--clip", type=float, default=0.2)
+        parser.add_argument("--minibatch_size", type=int, default=64)
+        parser.add_argument("--epochs", type=int, default=3)
+        parser.add_argument("--num_steps", type=int, default=5096)
+        parser.add_argument("--use_gae", default=False, action="store_true")
+        parser.add_argument("--num_procs", type=int, default=64,
+                            help="env fleet size (vmapped on device)")
+        parser.add_argument("--max_grad_norm", type=float, default=0.05)
+        parser.add_argument("--max_traj_len", type=int, default=400)
+        parser.add_argument("--recurrent", action="store_true")
+        parser.add_argument("--bounded", type=bool, default=False)
+        _common_env_args(parser)
+        args = parser.parse_args()
+
+        from apex_tpu.runtime.log import parse_previous
+        args = parse_previous(args)
+        from apex_tpu.agents.ppo import run_experiment
+
+        run_experiment(args)
+
+    elif cmd in ("td3_sync", "td3_async"):
+        parser.add_argument("--logdir", type=str, default=f"./trained_models/{cmd}/")
+        parser.add_argument("--seed", default=0, type=int)
+        parser.add_argument("--start_timesteps", default=10000, type=int)
+        parser.add_argument("--eval_freq", default=5000, type=int)
+        parser.add_argument("--max_timesteps", default=1e7, type=float)
+        parser.add_argument("--expl_noise", default=0.1, type=float)
+        parser.add_argument("--batch_size", default=64, type=int)
+        parser.add_argument("--discount", default=0.99, type=float)
+        parser.add_argument("--tau", default=0.005, type=float)
+        parser.add_argument("--policy_noise", default=0.2, type=float)
+        parser.add_argument("--noise_clip", default=0.5, type=float)
+        parser.add_argument("--policy_freq", default=2, type=int)
+        parser.add_argument("--a_lr", default=1e-4, type=float)
+        parser.add_argument("--c_lr", default=1e-4, type=float)
+        parser.add_argument("--num_procs", type=int, default=64)
+        parser.add_argument("--max_traj_len", type=int, default=400)
+        parser.add_argument("--param_noise", default=False, action="store_true")
+        _common_env_args(parser)
+        args = parser.parse_args()
+        from apex_tpu.agents.td3 import run_experiment
+
+        run_experiment(args, async_mode=(cmd == "td3_async"))
+
+    elif cmd in ("ddpg", "rdpg"):
+        parser.add_argument("--logdir", type=str, default=f"./trained_models/{cmd}/")
+        parser.add_argument("--seed", default=0, type=int)
+        parser.add_argument("--batch_size", default=64, type=int)
+        parser.add_argument("--discount", default=0.99, type=float)
+        parser.add_argument("--tau", default=0.001, type=float)
+        parser.add_argument("--a_lr", default=1e-4, type=float)
+        parser.add_argument("--c_lr", default=1e-3, type=float)
+        parser.add_argument("--expl_noise", default=0.2, type=float)
+        parser.add_argument("--max_timesteps", default=1e7, type=float)
+        parser.add_argument("--num_procs", type=int, default=64)
+        parser.add_argument("--max_traj_len", type=int, default=400)
+        _common_env_args(parser)
+        args = parser.parse_args()
+        from apex_tpu.agents.dpg import run_experiment
+
+        run_experiment(args, recurrent=(cmd == "rdpg"))
+
+    elif cmd == "ars":
+        parser.add_argument("--logdir", type=str, default="./trained_models/ars/")
+        parser.add_argument("--seed", default=0, type=int)
+        parser.add_argument("--n_itr", type=int, default=1000)
+        parser.add_argument("--hidden_size", default=32, type=int)
+        parser.add_argument("--deltas", default=64, type=int)
+        parser.add_argument("--lr", default=0.01, type=float)
+        parser.add_argument("--std", default=0.0075, type=float)
+        parser.add_argument("--deltas_used", default=32, type=int)
+        parser.add_argument("--num_procs", type=int, default=4)
+        parser.add_argument("--max_traj_len", type=int, default=400)
+        parser.add_argument("--algo", default="v1", type=str)
+        parser.add_argument("--recurrent", action="store_true")
+        _common_env_args(parser)
+        args = parser.parse_args()
+        from apex_tpu.agents.ars import run_experiment
+
+        run_experiment(args)
+
+    elif cmd == "eval":
+        parser.add_argument("--path", type=str, required=True,
+                            help="run directory with checkpoint.pkl")
+        parser.add_argument("--n_episodes", type=int, default=16)
+        parser.add_argument("--traj_len", type=int, default=400)
+        parser.add_argument("--out", type=str, default=None,
+                            help="npz path for trajectory dump")
+        args = parser.parse_args()
+        from apex_tpu.runtime.evaluate import eval_checkpoint
+
+        eval_checkpoint(args.path, n_episodes=args.n_episodes,
+                        traj_len=args.traj_len, out=args.out)
+
+    else:
+        print(f"unknown subcommand {cmd}")
+        sys.exit(1)
+
+
+if __name__ == "__main__":
+    main()

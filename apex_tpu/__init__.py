@@ -22,3 +22,12 @@ Layout (mirrors SURVEY.md section 7):
 """
 
 __version__ = "0.1.0"
+
+import jax as _jax
+
+# TPU matmuls default to bf16 passthrough, which is catastrophically
+# imprecise for the physics engine (kinematic matrix chains, Delassus
+# solves): full f32 everywhere. The policy/critic nets are tiny, so the
+# MXU-throughput cost is negligible at current scales; hot large matmuls
+# can opt back down with local jax.default_matmul_precision contexts.
+_jax.config.update("jax_default_matmul_precision", "highest")

@@ -426,3 +426,49 @@ class PPO:
                     save_fn(state)
 
         return state
+
+
+def run_experiment(args):
+    """CLI entry (reference rl/algos/ppo.py:507-584): build env + nets,
+    obs-norm burn-in, logger, train."""
+    from apex_tpu.envs.registry import env_factory
+    from apex_tpu.runtime.checkpoint import save_checkpoint
+    from apex_tpu.runtime.log import create_logger
+
+    env = env_factory(
+        args.env_name, simrate=args.simrate,
+        command_profile=args.command_profile,
+        input_profile=args.input_profile, learn_gains=args.learn_gains,
+        dynamics_randomization=args.dyn_random, reward=args.reward,
+        history=args.history, traj=getattr(args, "traj", "walking"),
+        no_delta=getattr(args, "no_delta", True),
+        ik_baseline=getattr(args, "ik_baseline", False))
+
+    cfg = PPOConfig(
+        num_envs=args.num_procs, num_steps=args.num_steps,
+        max_traj_len=args.max_traj_len, gamma=args.gamma, lam=args.lam,
+        lr=args.lr, eps=args.eps, clip=args.clip,
+        entropy_coeff=args.entropy_coeff,
+        minibatch_size=args.minibatch_size, epochs=args.epochs,
+        max_grad_norm=args.max_grad_norm, use_gae=args.use_gae,
+        use_mirror=args.mirror, anneal_rate=args.anneal,
+        std_dev=args.std_dev, learn_stddev=args.learn_stddev,
+        bounded=args.bounded)
+
+    ppo = PPO(env, cfg)
+    state = ppo.init(seed=args.seed)
+    print(f"obs_dim: {env.observation_size}, action_dim: {env.action_size}")
+    if args.input_norm_steps > 0:
+        state = ppo.prenormalize(state, steps=args.input_norm_steps)
+
+    logger = create_logger(args)
+    print("Synchronous Distributed Proximal Policy Optimization (on-device):")
+    for k in ("run_name", "seed", "num_procs", "lr", "eps", "lam", "gamma",
+              "std_dev", "entropy_coeff", "clip", "minibatch_size", "epochs",
+              "num_steps", "max_grad_norm", "max_traj_len"):
+        print(f"  {k}: {getattr(args, k, None)}")
+
+    def save_fn(st):
+        save_checkpoint(logger.dir, st)
+
+    return ppo.train(state, n_itr=args.n_itr, logger=logger, save_fn=save_fn)

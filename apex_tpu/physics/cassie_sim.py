@@ -1,0 +1,279 @@
+"""Cassie simulation layer: PD drives, 2 kHz substep, state estimator.
+
+TPU-native equivalent of the reference's C trio (SURVEY.md section 2.1):
+  * PdInput       (include/pd_in_t.h:24-49): per-leg PD torque controller
+  * CassieCoreSim (include/CassieCoreSim.h): firmware emulation producing
+    state_out_t (include/state_out_t.h:24-78)
+  * cassie_sim_step_pd / foot_forces / foot_positions / qpos / qvel
+    (include/cassiemujoco.h:80-158)
+
+Everything is a pure function over CassiePhysState; a policy step is a
+lax.scan of `pd_substep` (the reference loops step_pd simrate times per
+policy step, cassie.py:410-433).
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from apex_tpu.physics.engine import (
+    PhysParams,
+    StepOut,
+    step,
+)
+from apex_tpu.physics.models.cassie_gen import make_model
+from apex_tpu.physics.spec import PhysModel
+
+# ---------------------------------------------------------------------------
+# index maps (reference cassie.py:100-104 and include/cassiemujoco.h qpos
+# docs; the achilles ball and passive linkage dofs are interleaved)
+# ---------------------------------------------------------------------------
+
+MOTOR_QPOS_IDX = np.array([7, 8, 9, 14, 20, 21, 22, 23, 28, 34])
+MOTOR_QVEL_IDX = np.array([6, 7, 8, 12, 18, 19, 20, 21, 25, 31])
+JOINT_QPOS_IDX = np.array([15, 16, 20, 29, 30, 34])   # shin, tarsus, foot x2
+JOINT_QVEL_IDX = np.array([13, 14, 18, 26, 27, 31])
+
+# default PD gains (reference cassie.py:57-58)
+DEFAULT_P_GAIN = np.array([100.0, 100.0, 88.0, 96.0, 50.0] * 2)
+DEFAULT_D_GAIN = np.array([10.0, 10.0, 8.0, 9.6, 5.0] * 2)
+
+# neutral motor offsets = standing pose motor angles (cassie.py:107)
+NEUTRAL_OFFSET = np.array([0.0045, 0.0, 0.4973, -1.1997, -1.5968,
+                           0.0045, 0.0, 0.4973, -1.1997, -1.5968])
+
+# Standing configuration with closed loops (the pose cassie_sim_set_const
+# resets to; motor/joint values match reference reset_cassie_state,
+# cassie.py:737-746). Achilles-rod quaternions / linkage angles are refined
+# by `settle` against our loop-closure constraints at env setup.
+CASSIE_QPOS_INIT = np.array([
+    0.0, 0.0, 1.01,               # pelvis pos
+    1.0, 0.0, 0.0, 0.0,           # pelvis quat
+    0.0045, 0.0, 0.4973,          # left hip roll/yaw/pitch
+    0.9785, -0.0164, 0.01787, -0.2049,   # left achilles rod quat
+    -1.1997,                      # left knee
+    0.0, 1.4267,                  # left shin (spring), tarsus
+    -0.0, -1.5244, 1.5244,        # left heel spring, foot crank, plantar rod
+    -1.5968,                      # left foot
+    -0.0045, 0.0, 0.4973,         # right hip roll/yaw/pitch
+    0.9786, 0.00386, -0.01524, -0.2051,  # right achilles rod quat
+    -1.1997,
+    0.0, 1.4267,
+    -0.0, -1.5244, 1.5244,
+    -1.5968,
+])
+
+_MODEL_CACHE = None
+
+
+def cassie_model() -> PhysModel:
+    global _MODEL_CACHE
+    if _MODEL_CACHE is None:
+        _MODEL_CACHE = make_model()
+    return _MODEL_CACHE
+
+
+@struct.dataclass
+class CassiePhysState:
+    qpos: jnp.ndarray   # (35,)
+    qvel: jnp.ndarray   # (32,)
+    qacc: jnp.ndarray   # (32,) last-step acceleration (for IMU output)
+
+    @staticmethod
+    def standing() -> "CassiePhysState":
+        return CassiePhysState(
+            qpos=jnp.asarray(CASSIE_QPOS_INIT),
+            qvel=jnp.zeros(32),
+            qacc=jnp.zeros(32),
+        )
+
+
+@struct.dataclass
+class PDCommand:
+    """pd_in_t equivalent (include/pd_in_t.h:24-49), both legs flattened to
+    10-vectors ordered [left(5), right(5)]."""
+    p_target: jnp.ndarray
+    d_target: jnp.ndarray
+    p_gain: jnp.ndarray
+    d_gain: jnp.ndarray
+    ff_torque: jnp.ndarray
+
+    @staticmethod
+    def from_targets(p_target, p_gain=None, d_gain=None) -> "PDCommand":
+        return PDCommand(
+            p_target=p_target,
+            d_target=jnp.zeros(10),
+            p_gain=jnp.asarray(DEFAULT_P_GAIN) if p_gain is None else p_gain,
+            d_gain=jnp.asarray(DEFAULT_D_GAIN) if d_gain is None else d_gain,
+            ff_torque=jnp.zeros(10),
+        )
+
+
+class SubstepDiag(NamedTuple):
+    """Per-substep diagnostics the env layer accumulates (reference
+    step_simulation/step, cassie.py:293-443)."""
+    foot_frc_z: jnp.ndarray      # (2,) left/right vertical contact force
+    foot_pos: jnp.ndarray        # (2, 3) world foot body positions
+    foot_vel: jnp.ndarray        # (2, 3) world foot linear velocities
+    foot_quat: jnp.ndarray       # (2, 4) foot body orientations
+    toe_heel_force: jnp.ndarray  # (2, 2, 3) [foot][toe/heel] world forces
+    motor_torque: jnp.ndarray    # (10,) applied joint torques
+
+
+def pd_control(model: PhysModel, state: CassiePhysState,
+               cmd: PDCommand) -> jnp.ndarray:
+    """PD torque law tau = P(pT - q) + D(dT - qd) + ff at the joint level
+    (PdInput semantics, include/pd_in_t.h), clamped to the drive torque
+    limits gear*ctrlrange (cassie.xml:232-244). Returns per-motor ctrl in
+    actuator units (joint torque / gear)."""
+    q = state.qpos[MOTOR_QPOS_IDX]
+    qd = state.qvel[MOTOR_QVEL_IDX]
+    tau = (cmd.p_gain * (cmd.p_target - q) + cmd.d_gain * (cmd.d_target - qd)
+           + cmd.ff_torque)
+    gear = jnp.array([a.gear for a in model.actuators])
+    return tau / gear   # engine clips to ctrlrange
+
+
+_LEFT_FOOT = None
+_RIGHT_FOOT = None
+_PELVIS = None
+
+
+def _foot_ids(model: PhysModel):
+    global _LEFT_FOOT, _RIGHT_FOOT, _PELVIS
+    if _LEFT_FOOT is None:
+        _LEFT_FOOT = model.body_id("left-foot")
+        _RIGHT_FOOT = model.body_id("right-foot")
+        _PELVIS = model.body_id("cassie-pelvis")
+    return _LEFT_FOOT, _RIGHT_FOOT, _PELVIS
+
+
+def _contact_groups(model: PhysModel):
+    left = [i for i, c in enumerate(model.contacts) if c.group == 0]
+    right = [i for i, c in enumerate(model.contacts) if c.group == 1]
+    return left, right
+
+
+def pd_substep(model: PhysModel, params: PhysParams, state: CassiePhysState,
+               cmd: PDCommand) -> Tuple[CassiePhysState, SubstepDiag]:
+    """One 0.0005 s physics substep under PD control
+    (cassie_sim_step_pd, include/cassiemujoco.h:80)."""
+    ctrl = pd_control(model, state, cmd)
+    out: StepOut = step(model, params, state.qpos, state.qvel, ctrl)
+
+    lf, rf, _ = _foot_ids(model)
+    lcon, rcon = _contact_groups(model)
+
+    l_frc = sum(out.contact.force[i][2] for i in lcon)
+    r_frc = sum(out.contact.force[i][2] for i in rcon)
+
+    origin = out.kin.origin
+    foot_pos = jnp.stack([out.kin.xpos[lf] + origin, out.kin.xpos[rf] + origin])
+    foot_quat = jnp.stack([out.kin.xquat[lf], out.kin.xquat[rf]])
+    # foot body-origin world velocity from spatial velocity is recomputed by
+    # the env from position differences (reference does the same,
+    # cassie.py:330-331); provide contact-point based estimate here
+    l_vel = (out.contact.vel[lcon[0]] + out.contact.vel[lcon[1]]) / 2.0
+    r_vel = (out.contact.vel[rcon[0]] + out.contact.vel[rcon[1]]) / 2.0
+
+    toe_heel = jnp.stack([
+        jnp.stack([out.contact.force[lcon[0]], out.contact.force[lcon[1]]]),
+        jnp.stack([out.contact.force[rcon[0]], out.contact.force[rcon[1]]]),
+    ])
+
+    diag = SubstepDiag(
+        foot_frc_z=jnp.stack([l_frc, r_frc]),
+        foot_pos=foot_pos,
+        foot_vel=jnp.stack([l_vel, r_vel]),
+        foot_quat=foot_quat,
+        toe_heel_force=toe_heel,
+        motor_torque=out.actuator_torque,
+    )
+    new_state = CassiePhysState(qpos=out.qpos, qvel=out.qvel, qacc=out.qacc)
+    return new_state, diag
+
+
+@struct.dataclass
+class CassieStateOut:
+    """state_out_t equivalent (include/state_out_t.h:24-78), restricted to
+    the fields the env layer consumes (cassie.py:818-850)."""
+    pelvis_position: jnp.ndarray            # (3,)
+    pelvis_orientation: jnp.ndarray         # (4,)
+    pelvis_rot_vel: jnp.ndarray             # (3,) body frame (gyro)
+    pelvis_trans_vel: jnp.ndarray           # (3,) world frame
+    pelvis_trans_accel: jnp.ndarray         # (3,) world, gravity-removed
+    motor_position: jnp.ndarray             # (10,)
+    motor_velocity: jnp.ndarray             # (10,)
+    motor_torque: jnp.ndarray               # (10,)
+    joint_position: jnp.ndarray             # (6,)
+    joint_velocity: jnp.ndarray             # (6,)
+    left_foot_position: jnp.ndarray         # (3,) relative to pelvis, world
+    right_foot_position: jnp.ndarray        # (3,)
+    left_foot_orientation: jnp.ndarray      # (4,)
+    right_foot_orientation: jnp.ndarray     # (4,)
+    terrain_height: jnp.ndarray             # scalar
+
+
+def estimate_state(model: PhysModel, state: CassiePhysState,
+                   diag: SubstepDiag) -> CassieStateOut:
+    """Build the firmware state-estimator outputs from sim state.
+
+    The reference's estimator (inside CassieCoreSim) converges to the true
+    state in simulation; we output the true values directly (documented
+    divergence: no estimator transients)."""
+    qpos, qvel = state.qpos, state.qvel
+    pelvis_pos = qpos[0:3]
+    return CassieStateOut(
+        pelvis_position=pelvis_pos,
+        pelvis_orientation=qpos[3:7],
+        pelvis_rot_vel=qvel[3:6],
+        pelvis_trans_vel=qvel[0:3],
+        pelvis_trans_accel=state.qacc[0:3],
+        motor_position=qpos[MOTOR_QPOS_IDX],
+        motor_velocity=qvel[MOTOR_QVEL_IDX],
+        motor_torque=diag.motor_torque,
+        joint_position=qpos[JOINT_QPOS_IDX],
+        joint_velocity=qvel[JOINT_QVEL_IDX],
+        left_foot_position=diag.foot_pos[0] - pelvis_pos,
+        right_foot_position=diag.foot_pos[1] - pelvis_pos,
+        left_foot_orientation=diag.foot_quat[0],
+        right_foot_orientation=diag.foot_quat[1],
+        terrain_height=jnp.zeros(()),
+    )
+
+
+def static_diag(model: PhysModel, params: PhysParams,
+                state: CassiePhysState) -> SubstepDiag:
+    """FK-only diagnostics (no step): foot poses from kinematics, zero
+    forces/velocities. Used at reset to populate the estimator."""
+    from apex_tpu.physics.engine import forward_kinematics
+
+    kin = forward_kinematics(model, params, state.qpos)
+    lf, rf, _ = _foot_ids(model)
+    origin = kin.origin
+    return SubstepDiag(
+        foot_frc_z=jnp.zeros(2),
+        foot_pos=jnp.stack([kin.xpos[lf] + origin, kin.xpos[rf] + origin]),
+        foot_vel=jnp.zeros((2, 3)),
+        foot_quat=jnp.stack([kin.xquat[lf], kin.xquat[rf]]),
+        toe_heel_force=jnp.zeros((2, 2, 3)),
+        motor_torque=jnp.zeros(10),
+    )
+
+
+def settle(model: PhysModel, params: PhysParams,
+           state: CassiePhysState, n_substeps: int = 400) -> CassiePhysState:
+    """Hold the neutral PD targets for n substeps to let the soft loop
+    closures and contacts converge to a consistent standing state."""
+    cmd = PDCommand.from_targets(jnp.asarray(NEUTRAL_OFFSET))
+
+    def body(carry, _):
+        s, _diag = pd_substep(model, params, carry, cmd)
+        return s, None
+
+    out, _ = jax.lax.scan(body, state, None, length=n_substeps)
+    return out

@@ -1,0 +1,103 @@
+"""CassieEnv behavior tests (CPU; heavier compiles cached in /tmp/jax_cache)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from apex_tpu.envs.cassie import (
+    CassieEnv,
+    MIRROR_ACTS,
+    MIRROR_OBS_FULL,
+    MIRROR_OBS_MIN,
+)
+from apex_tpu.envs.base import mirror_matrix
+
+
+@pytest.fixture(scope="module")
+def env():
+    return CassieEnv(dynamics_randomization=True, reward="early_clock")
+
+
+@pytest.fixture(scope="module")
+def reset_state(env):
+    return jax.jit(env.reset)(jax.random.PRNGKey(0))
+
+
+def test_obs_sizes_match_reference():
+    """set_up_state_space (cassie.py:234-278): full+clock=50, min+clock=25,
+    full+phase=55."""
+    assert CassieEnv(input_profile="full",
+                     command_profile="clock").observation_size == 50
+    assert CassieEnv(input_profile="min",
+                     command_profile="clock").observation_size == 25
+    assert CassieEnv(input_profile="full",
+                     command_profile="phase").observation_size == 55
+    assert CassieEnv(learn_gains=True).action_size == 30
+
+
+def test_mirror_tables_are_involutions():
+    for lst in (MIRROR_OBS_FULL, MIRROR_OBS_MIN, MIRROR_ACTS):
+        M = mirror_matrix(lst)
+        np.testing.assert_allclose(M @ M, np.eye(len(lst)), atol=1e-6)
+
+
+def test_reset_shapes_and_standing_pose(env, reset_state):
+    state, obs = reset_state
+    assert obs.shape == (env.observation_size,)
+    assert np.isfinite(np.asarray(obs)).all()
+    # standing pose: pelvis at ~1.01 m (cassie_sim set_const)
+    np.testing.assert_allclose(float(state.phys.qpos[2]), 1.01, atol=1e-6)
+    # speed within command range
+    assert -0.3 - 1e-6 <= float(state.speed) <= 4.0 + 1e-6
+    # clock built: phaselen ~ total_duration * 40 in [20, 40]
+    assert 10 < float(state.clock.phaselen) < 60
+
+
+def test_reset_deterministic_same_key(env):
+    s1, o1 = jax.jit(env.reset)(jax.random.PRNGKey(3))
+    s2, o2 = jax.jit(env.reset)(jax.random.PRNGKey(3))
+    np.testing.assert_allclose(o1, o2)
+    np.testing.assert_allclose(s1.speed, s2.speed)
+
+
+def test_step_advances_and_rewards_finite(env, reset_state):
+    state, obs = reset_state
+    step = jax.jit(env.step)
+    action = jnp.zeros(10)
+    total_r = 0.0
+    for i in range(3):
+        state, obs, reward, terminated, info = step(
+            state, action, jax.random.PRNGKey(i))
+        assert obs.shape == (env.observation_size,)
+        assert np.isfinite(float(reward)), f"reward not finite at step {i}"
+        assert np.isfinite(np.asarray(obs)).all()
+        total_r += float(reward)
+    # time advanced, phase advanced
+    assert int(state.time) == 3
+    # robot should not have fallen through the floor or exploded
+    assert 0.3 < float(state.phys.qpos[2]) < 1.5
+    # holding neutral targets from standing: reward should be decent
+    assert total_r > -3.0
+
+
+def test_dyn_randomization_changes_params(env):
+    s1, _ = jax.jit(env.reset)(jax.random.PRNGKey(1))
+    s2, _ = jax.jit(env.reset)(jax.random.PRNGKey(2))
+    assert not np.allclose(np.asarray(s1.params.body_mass),
+                           np.asarray(s2.params.body_mass))
+    assert not np.allclose(np.asarray(s1.params.dof_damping),
+                           np.asarray(s2.params.dof_damping))
+    # pelvis dofs keep default damping (cassie.py:571-577)
+    np.testing.assert_allclose(np.asarray(s1.params.dof_damping[:6]),
+                               np.asarray(s2.params.dof_damping[:6]))
+
+
+def test_no_dyn_randomization_keeps_defaults():
+    env = CassieEnv(dynamics_randomization=False, reward="early_clock")
+    s, _ = jax.jit(env.reset)(jax.random.PRNGKey(0))
+    from apex_tpu.physics.engine import PhysParams
+
+    default = PhysParams.from_model(env.model)
+    np.testing.assert_allclose(np.asarray(s.params.body_mass),
+                               np.asarray(default.body_mass))
+    np.testing.assert_allclose(np.asarray(s.motor_enc_noise), np.zeros(10))

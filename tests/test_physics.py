@@ -1,0 +1,251 @@
+"""Physics engine validation against analytic mechanics.
+
+The reference's physics oracle (libcassiemujoco.so) cannot run here (it
+dlopens a MuJoCo 2.0 binary that is not shipped), so the engine is validated
+the way SURVEY.md section 4 prescribes for the rebuild: closed-form systems
+(pendulum, spring-mass), conservation laws (energy, momentum), internal
+consistency (CRBA vs RNEA, mass-matrix symmetry/PD), and static equilibrium
+ground-reaction forces.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from apex_tpu.physics.engine import (
+    PhysParams,
+    compute_dynamics,
+    step,
+    total_energy,
+)
+from apex_tpu.physics.mjcf import parse_mjcf_string
+
+PENDULUM_XML = """
+<mujoco model='pendulum'>
+  <compiler angle='radian'/>
+  <option timestep='0.001' gravity='0 0 -9.81'/>
+  <worldbody>
+    <body name='pole' pos='0 0 2'>
+      <inertial pos='0 0 -1' mass='1' diaginertia='1e-9 1e-9 1e-9'/>
+      <joint name='pin' type='hinge' axis='0 1 0' limited='false'/>
+    </body>
+  </worldbody>
+</mujoco>
+"""
+
+SPRING_XML = """
+<mujoco model='spring'>
+  <compiler angle='radian'/>
+  <option timestep='0.0005' gravity='0 0 0'/>
+  <worldbody>
+    <body name='mass' pos='0 0 0'>
+      <inertial pos='0 0 0' mass='2' diaginertia='0.01 0.01 0.01'/>
+      <joint name='slide' type='slide' axis='1 0 0' limited='false'
+             stiffness='800'/>
+    </body>
+  </worldbody>
+</mujoco>
+"""
+
+DOUBLE_PENDULUM_XML = """
+<mujoco model='dpend'>
+  <compiler angle='radian'/>
+  <option timestep='0.0005' gravity='0 0 -9.81'/>
+  <worldbody>
+    <body name='link1' pos='0 0 1'>
+      <inertial pos='0.25 0 0' mass='1' fullinertia='0.001 0.03 0.03 0 0 0'/>
+      <joint name='j1' type='hinge' axis='0 1 0' limited='false'/>
+      <body name='link2' pos='0.5 0 0'>
+        <inertial pos='0.25 0 0' mass='0.7' fullinertia='0.001 0.02 0.02 0 0 0'/>
+        <joint name='j2' type='hinge' axis='0 1 0' limited='false'/>
+      </body>
+    </body>
+  </worldbody>
+</mujoco>
+"""
+
+BALL_DROP_XML = """
+<mujoco model='balldrop'>
+  <compiler angle='radian'/>
+  <option timestep='0.0005' gravity='0 0 -9.81'/>
+  <worldbody>
+    <geom name='floor' pos='0 0 0' type='plane' condim='3' conaffinity='15'
+          contype='0'/>
+    <body name='ball' pos='0 0 1'>
+      <inertial pos='0 0 0' mass='3' diaginertia='0.01 0.01 0.01'/>
+      <freejoint/>
+      <geom type='sphere' size='0.1' contype='1'/>
+    </body>
+  </worldbody>
+</mujoco>
+"""
+
+
+def _rollout(model, params, qpos, qvel, ctrl, n):
+    def body(carry, _):
+        qp, qv = carry
+        out = step(model, params, qp, qv, ctrl)
+        return (out.qpos, out.qvel), None
+
+    (qp, qv), _ = jax.lax.scan(body, (qpos, qvel), None, length=n)
+    return qp, qv
+
+
+def test_pendulum_small_oscillation_frequency():
+    """Point-mass pendulum, length 1: omega = sqrt(g/L)."""
+    model = parse_mjcf_string(PENDULUM_XML)
+    params = PhysParams.from_model(model)
+    qpos = jnp.array([0.05])
+    qvel = jnp.zeros(1)
+    # simulate one half period and check the angle flipped sign
+    import math
+    omega = math.sqrt(9.81 / 1.0)
+    half_period = math.pi / omega
+    n = int(half_period / model.timestep)
+    qp, _ = _rollout(model, params, qpos, qvel, jnp.zeros(0), n)
+    # small-angle: theta(T/2) ~ -theta0
+    np.testing.assert_allclose(float(qp[0]), -0.05, atol=0.004)
+
+
+def test_pendulum_energy_conservation():
+    model = parse_mjcf_string(PENDULUM_XML)
+    params = PhysParams.from_model(model)
+    qpos = jnp.array([1.0])
+    qvel = jnp.array([0.5])
+    e0 = float(total_energy(model, params, qpos, qvel))
+    qp, qv = _rollout(model, params, qpos, qvel, jnp.zeros(0), 2000)
+    e1 = float(total_energy(model, params, qp, qv))
+    assert abs(e1 - e0) < 0.02 * abs(e0) + 0.02
+
+
+def test_spring_mass_frequency():
+    """m=2, k=800 slide: omega = 20 rad/s."""
+    model = parse_mjcf_string(SPRING_XML)
+    params = PhysParams.from_model(model)
+    import math
+    period = 2 * math.pi / math.sqrt(800 / 2.0)
+    n = int(period / model.timestep)
+    qp, qv = _rollout(model, params, jnp.array([0.1]), jnp.zeros(1),
+                      jnp.zeros(0), n)
+    np.testing.assert_allclose(float(qp[0]), 0.1, atol=0.004)
+    np.testing.assert_allclose(float(qv[0]), 0.0, atol=0.05)
+
+
+def test_double_pendulum_energy_and_consistency():
+    model = parse_mjcf_string(DOUBLE_PENDULUM_XML)
+    params = PhysParams.from_model(model)
+    qpos = jnp.array([0.7, -0.3])
+    qvel = jnp.array([0.2, -0.1])
+
+    dyn = compute_dynamics(model, params, qpos, qvel)
+    # mass matrix symmetric positive definite
+    np.testing.assert_allclose(dyn.M, dyn.M.T, atol=1e-5)
+    eigs = np.linalg.eigvalsh(np.asarray(dyn.M))
+    assert eigs.min() > 0
+
+    e0 = float(total_energy(model, params, qpos, qvel))
+    qp, qv = _rollout(model, params, qpos, qvel, jnp.zeros(0), 4000)
+    e1 = float(total_energy(model, params, qp, qv))
+    assert abs(e1 - e0) < 0.03 * abs(e0) + 0.03
+
+
+def test_rnea_matches_mass_matrix_gravity():
+    """At qvel=0 the bias force must equal the gravity load G(q), which also
+    equals d/dq of potential energy."""
+    model = parse_mjcf_string(DOUBLE_PENDULUM_XML)
+    params = PhysParams.from_model(model)
+    qpos = jnp.array([0.4, 0.9])
+    qvel = jnp.zeros(2)
+    dyn = compute_dynamics(model, params, qpos, qvel)
+
+    def potential(q):
+        d = compute_dynamics(model, params, q, jnp.zeros(2))
+        g = jnp.asarray(model.gravity)
+        return -jnp.sum(params.body_mass * ((d.kin.xipos + d.kin.origin) @ g))
+
+    dV = jax.grad(potential)(qpos)
+    np.testing.assert_allclose(dyn.qfrc_bias, dV, rtol=1e-3, atol=1e-4)
+
+
+def test_free_fall_and_ground_rest():
+    """Ball under gravity: parabolic fall, then rests on the plane with
+    GRF ~ m*g and tiny penetration."""
+    model = parse_mjcf_string(BALL_DROP_XML)
+    params = PhysParams.from_model(model)
+    qpos = jnp.asarray(model.qpos0).at[2].set(0.5)
+    qvel = jnp.zeros(model.nv)
+
+    # free fall for 0.1 s: z = z0 - g t^2 / 2
+    n = int(0.1 / model.timestep)
+    qp, qv = _rollout(model, params, qpos, qvel, jnp.zeros(0), n)
+    np.testing.assert_allclose(float(qp[2]), 0.5 - 0.5 * 9.81 * 0.01,
+                               atol=2e-3)
+
+    # long settle: rests at z ~ radius, GRF ~ mg
+    qp, qv = _rollout(model, params, qpos, qvel, jnp.zeros(0), 4000)
+    out = step(model, params, qp, qv, jnp.zeros(0))
+    assert abs(float(qp[2]) - 0.1) < 0.01, f"rest height {float(qp[2])}"
+    grf = float(out.contact.force[0][2])
+    np.testing.assert_allclose(grf, 3 * 9.81, rtol=0.05)
+    assert abs(float(jnp.linalg.norm(qv))) < 0.05
+
+
+def test_ball_joint_momentum_free_rotation():
+    """A floating body spun about a principal axis keeps angular velocity."""
+    xml = """
+    <mujoco model='spin'>
+      <compiler angle='radian'/>
+      <option timestep='0.0005' gravity='0 0 0'/>
+      <worldbody>
+        <body name='b' pos='0 0 0'>
+          <inertial pos='0 0 0' mass='1' diaginertia='0.02 0.02 0.01'/>
+          <freejoint/>
+        </body>
+      </worldbody>
+    </mujoco>
+    """
+    model = parse_mjcf_string(xml)
+    params = PhysParams.from_model(model)
+    qpos = jnp.asarray(model.qpos0)
+    qvel = jnp.zeros(6).at[5].set(3.0)  # spin about z (principal axis)
+    qp, qv = _rollout(model, params, qpos, qvel, jnp.zeros(0), 2000)
+    np.testing.assert_allclose(float(qv[5]), 3.0, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(qv[:3]), np.zeros(3), atol=1e-4)
+    # quaternion stays unit
+    np.testing.assert_allclose(float(jnp.linalg.norm(qp[3:7])), 1.0, atol=1e-5)
+
+
+def test_cassie_standing_mechanism():
+    """The closed-loop leg mechanism must carry the robot's weight: with
+    stiffened PD holding the neutral pose, after 0.5 s the pelvis is still
+    up, the tarsus has not folded, the heel springs deflect by a physical
+    amount, and ground reaction ~ weight. Guards against the loop-closure
+    compliance collapse the acceleration-level soft constraints exhibited.
+    """
+    import jax
+    from apex_tpu.physics.cassie_sim import (
+        CassiePhysState, DEFAULT_D_GAIN, DEFAULT_P_GAIN, NEUTRAL_OFFSET,
+        PDCommand, cassie_model, pd_substep)
+
+    m = cassie_model()
+    params = PhysParams.from_model(m)
+    s = CassiePhysState.standing()
+    cmd = PDCommand.from_targets(
+        jnp.asarray(NEUTRAL_OFFSET),
+        p_gain=4 * jnp.asarray(DEFAULT_P_GAIN),
+        d_gain=2 * jnp.asarray(DEFAULT_D_GAIN))
+
+    def body(c, _):
+        c2, d = pd_substep(m, params, c, cmd)
+        return c2, d.foot_frc_z
+
+    s, frc = jax.jit(
+        lambda s: jax.lax.scan(body, s, None, length=1000))(s)
+    frc = np.asarray(frc)
+    assert float(s.qpos[2]) > 0.85, f"pelvis sank to {float(s.qpos[2])}"
+    assert 1.2 < float(s.qpos[16]) < 1.9, f"tarsus folded: {float(s.qpos[16])}"
+    assert abs(float(s.qpos[17])) < 0.1, "heel spring unphysical"
+    total_grf = frc[-200:].sum(axis=1).mean()
+    weight = float(np.sum(np.asarray(m.body_mass))) * 9.81
+    assert 0.5 * weight < total_grf < 1.5 * weight, (
+        f"GRF {total_grf} vs weight {weight}")
