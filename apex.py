@@ -41,6 +41,9 @@ def main():
     if len(sys.argv) < 2:
         print("usage: apex.py {ppo,td3_sync,td3_async,ddpg,rdpg,ars,eval} ...")
         sys.exit(1)
+    from apex_tpu.utils.logo import print_logo
+
+    print_logo()
     cmd = sys.argv[1]
     sys.argv = [sys.argv[0]] + sys.argv[2:]
     parser = argparse.ArgumentParser()

@@ -31,3 +31,15 @@ import jax as _jax
 # MXU-throughput cost is negligible at current scales; hot large matmuls
 # can opt back down with local jax.default_matmul_precision contexts.
 _jax.config.update("jax_default_matmul_precision", "highest")
+
+# Persistent compilation cache: the physics programs are large and compile
+# slowly; cache across processes/runs.
+import os as _os
+
+_cache_dir = _os.environ.get("APEX_TPU_COMPILE_CACHE", "/tmp/jax_cache")
+try:
+    _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    _jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+except Exception:
+    pass

@@ -455,7 +455,12 @@ def run_experiment(args):
         std_dev=args.std_dev, learn_stddev=args.learn_stddev,
         bounded=args.bounded)
 
-    ppo = PPO(env, cfg)
+    if getattr(args, "recurrent", False):
+        from apex_tpu.agents.ppo_recurrent import RecurrentPPO
+
+        ppo = RecurrentPPO(env, cfg)
+    else:
+        ppo = PPO(env, cfg)
     state = ppo.init(seed=args.seed)
     print(f"obs_dim: {env.observation_size}, action_dim: {env.action_size}")
     if args.input_norm_steps > 0:

@@ -50,16 +50,22 @@ class Rollout(NamedTuple):
 
 
 def init_runner(env: Env, rng, num_envs: int) -> RunnerState:
-    rng, key = jax.random.split(rng)
-    keys = jax.random.split(key, num_envs)
-    env_state, obs = jax.vmap(env.reset)(keys)
-    return RunnerState(
-        env_state=env_state,
-        obs=obs,
-        traj_len=jnp.zeros((num_envs,), jnp.int32),
-        ep_return=jnp.zeros((num_envs,)),
-        rng=rng,
-    )
+    # jitted: an eager vmapped reset would dispatch thousands of individual
+    # ops, which is pathological on remote-compile TPU backends
+    @jax.jit
+    def _init(rng):
+        rng, key = jax.random.split(rng)
+        keys = jax.random.split(key, num_envs)
+        env_state, obs = jax.vmap(env.reset)(keys)
+        return RunnerState(
+            env_state=env_state,
+            obs=obs,
+            traj_len=jnp.zeros((num_envs,), jnp.int32),
+            ep_return=jnp.zeros((num_envs,)),
+            rng=rng,
+        )
+
+    return _init(rng)
 
 
 def rollout_scan(

@@ -84,6 +84,16 @@ MIRROR_ACTS_GAINS = [
     -5, -6, 7, 8, 9, -0.1, -1, 2, 3, 4,
     -15, -16, 17, 18, 19, -10, -11, 12, 13, 14,
     -25, -26, 27, 28, 29, -20, -21, 22, 23, 24]
+# research-variant mirror tables (cassie_footdist_env.py:229-231,
+# cassie_noaccel_footdist_env.py:259-261)
+MIRROR_OBS_FOOTDIST = [
+    3, 4, 5, 0.1, 1, 2, 6, -7, 8, -9, -15, -16, 17, 18, 19, -10, -11, 12,
+    13, 14, 20, -21, 22, -23, 24, -25, -31, -32, 33, 34, 35, -26, -27, 28,
+    29, 30, 36, -37, 38, 42, 43, 44, 39, 40, 41, 48, 49, 50, 45, 46, 47]
+MIRROR_OBS_NOACCEL_FOOTDIST = [
+    3, 4, 5, 0.1, 1, 2, 6, -7, 8, -9, -15, -16, 17, 18, 19, -10, -11, 12,
+    13, 14, 20, -21, 22, -23, 24, -25, -31, -32, 33, 34, 35, -26, -27, 28,
+    29, 30, 38, 39, 36, 37, 42, 43, 40, 41]
 
 # dyn-rand dof-damping scaling mask (reference cassie.py:571-596: pelvis,
 # heel-spring and plantar-rod dofs keep default damping)
@@ -148,21 +158,40 @@ class CassieEnv(Env):
 
     def __post_init__(self):
         self.model = cassie_model()
-        base = 46 if self.input_profile == "full" else 21
-        ext = 4 if self.command_profile == "clock" else 9
+        # input profiles: full(46)/min(21) from the consolidated env
+        # (cassie.py:236-237) plus the research variants footdist(51) and
+        # noaccel_footdist(44) (SURVEY.md section 2.2 #25). The research
+        # variants use a 3-dim [clock, speed] command appendix and a
+        # phaselen+1 clock divisor (cassie_noaccel_footdist_env.py:~520).
+        sizes = {"full": 46, "min": 21, "footdist": 51,
+                 "noaccel_footdist": 44}
+        base = sizes[self.input_profile]
+        self._research_variant = self.input_profile in (
+            "footdist", "noaccel_footdist")
+        if self._research_variant:
+            ext = 3
+        else:
+            ext = 4 if self.command_profile == "clock" else 9
         self._base_obs = base + ext
         self.observation_size = self._base_obs * (1 + self.history)
         self.action_size = 30 if self.learn_gains else 10
         self.mirrored_acts = (MIRROR_ACTS_GAINS if self.learn_gains
                               else MIRROR_ACTS)
-        base_mir = (MIRROR_OBS_FULL if self.input_profile == "full"
-                    else MIRROR_OBS_MIN)
+        base_mir = {"full": MIRROR_OBS_FULL, "min": MIRROR_OBS_MIN,
+                    "footdist": MIRROR_OBS_FOOTDIST,
+                    "noaccel_footdist": MIRROR_OBS_NOACCEL_FOOTDIST}[
+            self.input_profile]
         append = list(range(len(base_mir), self._base_obs))
         self.mirrored_obs = list(base_mir) + append
         self.clock_inds = [len(base_mir), len(base_mir) + 1]
 
-        # reward dispatch (set_up_clock_reward, cassie.py:202-232)
+        # reward dispatch (set_up_clock_reward, cassie.py:202-232; plus the
+        # speedmatch family from the research env variants)
+        from apex_tpu.rewards.speedmatch import SPEEDMATCH_FUNCS
+
         self.have_incentive = "no_incentive" not in self.reward
+        self._speedmatch_key = (self.reward
+                                if self.reward in SPEEDMATCH_FUNCS else None)
         if "early" in self.reward:
             self._reward_key = "early_clock"
         elif "no_speed" in self.reward:
@@ -289,7 +318,16 @@ class CassieEnv(Env):
         target = targets10 + self._offset - state.motor_enc_noise
         cmd = PDCommand.from_targets(target, p_gain, d_gain)
 
-        # ---- simrate x 2 kHz substeps with tracking (cassie.py:410-433) ----
+        # ---- simrate x 2 kHz substeps with tracking (cassie.py:410-433;
+        # the extra accumulators mirror the research envs,
+        # cassie_mininput_env.py:418-504) ----
+        # smooth foot-height clocks, constant over the control step
+        pl1 = state.clock.phaselen + 1.0
+        one2one = 0.5 * (jnp.cos(2 * jnp.pi / pl1 * state.phase) + 1.0)
+        zero2zero = 0.5 * (jnp.cos(
+            2 * jnp.pi / pl1 * (state.phase - pl1 / 2.0)) + 1.0)
+        des_height = 0.15
+
         def substep(carry, _):
             phys, prev_foot = carry
             phys, diag = pd_substep(m, state.params, phys, cmd)
@@ -297,13 +335,23 @@ class CassieEnv(Env):
             l_orient = 1.0 - jnp.dot(self._neutral_foot, diag.foot_quat[0]) ** 2
             r_orient = 1.0 - jnp.dot(self._neutral_foot, diag.foot_quat[1]) ** 2
             hiproll = (jnp.abs(phys.qvel[6]) + jnp.abs(phys.qvel[19])) / 3.0
-            track = (diag, foot_vel, l_orient, r_orient, hiproll)
+            hipyaw = jnp.abs(phys.qvel[7]) + jnp.abs(phys.qvel[20])
+            lz, rz = diag.foot_pos[0, 2], diag.foot_pos[1, 2]
+            l_ground = lz ** 2 + jnp.linalg.norm(foot_vel[0])
+            l_height = 40.0 * (des_height - lz) ** 2
+            r_ground = rz ** 2 + jnp.linalg.norm(foot_vel[1])
+            r_height = 40.0 * (des_height - rz) ** 2
+            l_smooth = zero2zero * l_height + one2one * l_ground
+            r_smooth = one2one * r_height + zero2zero * r_ground
+            track = (diag, foot_vel, l_orient, r_orient, hiproll, hipyaw,
+                     l_smooth, r_smooth)
             return (phys, diag.foot_pos), track
 
         prev_foot0 = static_diag(m, state.params, state.phys).foot_pos
         (phys, _), track = jax.lax.scan(
             substep, (state.phys, prev_foot0), None, length=self.simrate)
-        diag_seq, foot_vel_seq, l_or, r_or, hiproll_seq = track
+        (diag_seq, foot_vel_seq, l_or, r_or, hiproll_seq, hipyaw_seq,
+         l_smooth_seq, r_smooth_seq) = track
         diag_last = jax.tree_util.tree_map(lambda x: x[-1], diag_seq)
 
         l_foot_frc = diag_seq.foot_frc_z[:, 0].mean()
@@ -338,7 +386,28 @@ class CassieEnv(Env):
             # reward evaluates the clock at the post-increment, post-wrap
             # phase (reference step order, cassie.py:447-472)
             speed=state.speed, phase=phase)
-        reward = REWARD_FUNCS[self._reward_key](state.clock, ri)
+        if self._speedmatch_key is not None:
+            from apex_tpu.rewards.speedmatch import (
+                SPEEDMATCH_FUNCS, SpeedmatchInputs)
+
+            prev10 = prev_action[:10]
+            hiproll_act = 2.0 * jnp.linalg.norm(
+                prev10[jnp.asarray([0, 5])] - action[jnp.asarray([0, 5])])
+            hipyaw_act = 2.0 * jnp.linalg.norm(
+                prev10[jnp.asarray([1, 6])] - action[jnp.asarray([1, 6])])
+            si = SpeedmatchInputs(
+                qpos=phys.qpos, qvel=phys.qvel, speed=state.speed,
+                orient_add=state.orient_add,
+                pelvis_orientation=est.pelvis_orientation,
+                l_foot_orient_cost=l_orient_cost,
+                r_foot_orient_cost=r_orient_cost,
+                hiproll_cost=hiproll_seq.mean(), hiproll_act=hiproll_act,
+                hipyaw_vel=hipyaw_seq.mean(), hipyaw_act=hipyaw_act,
+                l_foot_cost_smooth=l_smooth_seq.mean(),
+                r_foot_cost_smooth=r_smooth_seq.mean())
+            reward = SPEEDMATCH_FUNCS[self._speedmatch_key](si)
+        else:
+            reward = REWARD_FUNCS[self._reward_key](state.clock, ri)
 
         # ---- termination (cassie.py:462-465; clock rewards disable the
         # reward cutoff, cassie.py:772-775) ----
@@ -385,7 +454,41 @@ class CassieEnv(Env):
         return jnp.where(out[0] < 0, -out, out)
 
     def _build_obs(self, state: CassieEnvState, est: CassieStateOut):
-        """get_full_state (cassie.py:787-859)."""
+        """get_full_state (cassie.py:787-859; research variants
+        cassie_noaccel_footdist_env.py get_full_state)."""
+        if self._research_variant:
+            phase_frac = 2.0 * jnp.pi * state.phase / (state.clock.phaselen + 1.0)
+            clock = jnp.stack([jnp.sin(phase_frac), jnp.cos(phase_frac)])
+            ext = jnp.concatenate([clock, state.speed[None]])
+            new_orient = self._rotate_to_orient(state.orient_add,
+                                                est.pelvis_orientation)
+            new_tvel = self._rotate_to_orient(state.orient_add,
+                                              est.pelvis_trans_vel)
+            motor_pos = est.motor_position + state.motor_enc_noise
+            if self.input_profile == "footdist":
+                new_tacc = self._rotate_to_orient(state.orient_add,
+                                                  est.pelvis_trans_accel)
+                joint_pos = est.joint_position + state.joint_enc_noise
+                robot = jnp.concatenate([
+                    est.left_foot_position, est.right_foot_position,
+                    new_orient, motor_pos, new_tvel, est.pelvis_rot_vel,
+                    est.motor_velocity, new_tacc, joint_pos,
+                    est.joint_velocity])
+            else:  # noaccel_footdist: no accel, no foot-joint entries;
+                   # joint_vel repeats the left shin/tarsus (reference quirk,
+                   # cassie_noaccel_footdist_env.py joint_vel slice)
+                jp = est.joint_position + state.joint_enc_noise
+                joint_pos = jnp.concatenate([jp[0:2], jp[3:5]])
+                jv = est.joint_velocity
+                joint_vel = jnp.concatenate([jv[0:2], jv[0:2]])
+                robot = jnp.concatenate([
+                    est.left_foot_position, est.right_foot_position,
+                    new_orient, motor_pos, new_tvel, est.pelvis_rot_vel,
+                    est.motor_velocity, joint_pos, joint_vel])
+            base = jnp.concatenate([robot, ext])
+            hist = jnp.roll(state.obs_history, 1, axis=0).at[0].set(base)
+            return hist.reshape(-1), hist
+
         phase_frac = 2.0 * jnp.pi * state.phase / state.clock.phaselen
         clock = jnp.stack([jnp.sin(phase_frac), jnp.cos(phase_frac)])
         if self.command_profile == "phase":

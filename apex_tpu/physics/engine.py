@@ -12,12 +12,15 @@ from the same MJCF behave alike:
     body position for f32 robustness over kilometer-scale runs;
   * composite-rigid-body algorithm for the (nv, nv) mass matrix;
   * recursive Newton-Euler for Coriolis/centrifugal/gravity bias;
-  * soft constraints (floor contacts, loop-closure connects, joint limits)
-    as critically-damped spring-dampers scaled by the exact per-constraint
-    effective mass diag(J M^-1 J^T)^-1 -- a diagonal approximation of the
-    reference solver's (PGS, cassie.xml:5) Delassus operator with the same
-    solref=(0.005, 1) impedance;
-  * semi-implicit Euler with implicit damping: (M + h D) dv = h f.
+  * floor contacts and joint limits as critically-damped spring-dampers
+    scaled by the exact per-constraint effective mass diag(J M^-1 J^T)^-1
+    -- a diagonal approximation of the reference solver's (PGS,
+    cassie.xml:5) Delassus operator with the same solref=(0.005, 1)
+    impedance;
+  * loop-closure connects as velocity-level impulses with Baumgarte
+    stabilization (rigid rods; see equality_jacobian);
+  * semi-implicit Euler with implicit damping: (M + h D) dv = h f;
+  * all small SPD solves via unrolled batched Cholesky (ops/linalg.py).
 
 Everything is a pure function of (model, params, state); batching = vmap,
 the 2 kHz substep loop = lax.scan (see step_fn builders below).
@@ -33,6 +36,7 @@ import jax.numpy as jnp
 import numpy as np
 from flax import struct
 
+from apex_tpu.ops.linalg import spd_inverse, spd_solve
 from apex_tpu.physics.spec import (
     DOF_WIDTH,
     JointType,
@@ -436,8 +440,9 @@ def compute_dynamics(model: PhysModel, params: PhysParams, qpos: jnp.ndarray,
     M = M + jnp.diag(jnp.asarray(model.dof_armature))
 
     # effective-mass inverse for constraint impedances (damped M for
-    # consistency with the implicit integrator)
-    Minv = jnp.linalg.inv(M + model.timestep * jnp.diag(params.dof_damping))
+    # consistency with the implicit integrator). Unrolled SPD inverse: XLA's
+    # pivoted-LU inv is pathologically slow/fragile batched on TPU.
+    Minv = spd_inverse(M + model.timestep * jnp.diag(params.dof_damping))
 
     return Dynamics(kin=kin, body_vel=body_vel, cdof_dot=cdof_dot, M=M,
                     Minv=Minv, qfrc_bias=qfrc_bias)
@@ -659,7 +664,7 @@ def step(model: PhysModel, params: PhysParams, qpos: jnp.ndarray,
         d = jax.lax.rsqrt(jnp.diag(G) + 1e-12)
         Gs = d[:, None] * G * d[None, :] + 1e-6 * jnp.eye(G.shape[0])
         rhs = -(J_eq @ v_pred + (BAUMGARTE_BETA / h) * err)
-        lam = d * jnp.linalg.solve(Gs, d * rhs)
+        lam = d * spd_solve(Gs, d * rhs)
         new_qvel = v_pred + Ainv @ (J_eq.T @ lam)
     else:
         new_qvel = v_pred

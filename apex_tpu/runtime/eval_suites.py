@@ -137,3 +137,117 @@ def eval_commands(
     keys = jax.random.split(jax.random.PRNGKey(seed), n_trials)
     passed = np.asarray(jax.jit(jax.vmap(single))(keys))
     return {"pass_rate": passed.mean(), "passed": passed}
+
+
+def eval_mission(policy_fn, mission: str = "default", simrate: int = 60,
+                 max_steps: int = 1200, seed: int = 0):
+    """Mission completion on CassiePlayground (reference
+    tools/eval_mission.py:45-112): run the command schedule; success = not
+    falling before the schedule ends."""
+    from apex_tpu.envs.cassie_playground import CassiePlayground
+
+    env = CassiePlayground(mission=mission, simrate=simrate)
+    state, obs = env.reset(jax.random.PRNGKey(seed))
+    steps = min(max_steps, env.trajlen - 1)
+
+    def body(carry, key):
+        st, ob, fallen, progress = carry
+        action = policy_fn(ob)
+        st2, ob2, _r, term, _ = env.step(st, action, key)
+        progress = jnp.where(fallen, progress, st2.command_counter)
+        return (st2, ob2, fallen | term, progress), None
+
+    keys = jax.random.split(jax.random.PRNGKey(seed + 1), steps)
+    (state, obs, fallen, progress), _ = jax.jit(
+        lambda c, k: jax.lax.scan(body, c, k))(
+        (state, obs, jnp.zeros((), bool), jnp.zeros((), jnp.int32)), keys)
+    return {"success": bool(~fallen), "progress": int(progress),
+            "total": steps}
+
+
+def eval_sensitivity(env_base, policy_fn, param: str = "friction",
+                     values=None, n_trials: int = 16,
+                     episode_steps: int = 200, seed: int = 0):
+    """Dynamics-parameter sensitivity sweep (reference
+    tools/eval_sensitivity.py:9-98): fix one parameter across a range,
+    report survival rate at each value."""
+    if values is None:
+        values = {"friction": np.linspace(0.3, 1.3, 6),
+                  "mass": np.linspace(0.5, 1.5, 6),
+                  "damping": np.linspace(0.3, 4.0, 6)}[param]
+
+    def single(value, key):
+        k_reset, k_run = jax.random.split(key)
+        state, obs = env_base.reset(k_reset)
+        p = state.params
+        if param == "friction":
+            p = p.replace(friction=value)
+        elif param == "mass":
+            p = p.replace(body_mass=p.body_mass * value)
+        elif param == "damping":
+            p = p.replace(dof_damping=p.dof_damping * value)
+        state = state.replace(params=p, speed=jnp.asarray(1.0))
+        _, _, fallen = _run_steps(env_base, policy_fn, state, obs, k_run,
+                                  episode_steps)
+        return jnp.logical_not(fallen)
+
+    out = {}
+    vv = jnp.asarray(np.repeat(values, n_trials))
+    keys = jax.random.split(jax.random.PRNGKey(seed), len(values) * n_trials)
+    survived = np.asarray(jax.jit(jax.vmap(single))(vv, keys))
+    survived = survived.reshape(len(values), n_trials)
+    return {"values": np.asarray(values),
+            "survival_rate": survived.mean(axis=1)}
+
+
+def eval_5k_matrix(env_base, policy_fn, speeds=(0.5, 1.4, 2.3),
+                   frictions=(0.5, 0.8, 1.1), foot_mass_scales=(1.0, 1.5),
+                   slopes=(0.0, 0.03), episode_steps: int = 400,
+                   seed: int = 0):
+    """The reference's "5k" robustness matrix (5k_test.py:19-129): a grid of
+    {speed x friction x foot mass x slope}, pass-rate per cell. Terrain-xml
+    variants are represented by the slope axis (heightfields pending)."""
+    from apex_tpu.utils.quaternion import euler2quat
+
+    foot_ids = [env_base.model.body_id("left-foot"),
+                env_base.model.body_id("right-foot")]
+
+    def single(speed, fric, fmass, slope, key):
+        k_reset, k_run = jax.random.split(key)
+        state, obs = env_base.reset(k_reset)
+        p = state.params
+        mass = p.body_mass
+        for fid in foot_ids:
+            mass = mass.at[fid].multiply(fmass)
+        p = p.replace(friction=fric, body_mass=mass,
+                      floor_quat=euler2quat(z=0.0, y=slope, x=0.0))
+        state = state.replace(params=p, speed=speed)
+        _, _, fallen = _run_steps(env_base, policy_fn, state, obs, k_run,
+                                  episode_steps)
+        return jnp.logical_not(fallen)
+
+    S, F, M, L = np.meshgrid(speeds, frictions, foot_mass_scales, slopes,
+                             indexing="ij")
+    flat = [jnp.asarray(x.ravel(), jnp.float32) for x in (S, F, M, L)]
+    keys = jax.random.split(jax.random.PRNGKey(seed), flat[0].shape[0])
+    passed = np.asarray(jax.jit(jax.vmap(single))(*flat, keys))
+    return {
+        "grid": dict(speeds=speeds, frictions=frictions,
+                     foot_mass_scales=foot_mass_scales, slopes=slopes),
+        "passed": passed.reshape(S.shape),
+        "pass_rate": passed.mean(),
+    }
+
+
+def compare_policies(path_a: str, path_b: str, n_episodes: int = 32,
+                     traj_len: int = 300):
+    """Two-policy comparison report (reference tools/compare_pols.py:6-182,
+    text instead of PDF)."""
+    from apex_tpu.runtime.evaluate import eval_checkpoint
+
+    ra = eval_checkpoint(path_a, n_episodes=n_episodes, traj_len=traj_len)
+    rb = eval_checkpoint(path_b, n_episodes=n_episodes, traj_len=traj_len)
+    print(f"\n{'':>12} {'return':>10} {'ep_len':>8}")
+    print(f"{'policy A':>12} {ra[0]:10.2f} {ra[1]:8.1f}")
+    print(f"{'policy B':>12} {rb[0]:10.2f} {rb[1]:8.1f}")
+    return {"a": ra, "b": rb}

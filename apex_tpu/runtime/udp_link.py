@@ -1,0 +1,142 @@
+"""Real-robot UDP link: ctypes binding over the native C++ layer.
+
+API parity with the reference's CassieUdp wrapper
+(cassie/cassiemujoco/cassiemujoco.py:404-482): send_pd / recv_newest /
+delay / seq_num_in_diff, plus the robot-side counterpart used by the
+policy-serving loop. Payload layout documented in native/cassie_udp.cpp.
+
+The native library is built lazily with `make -C native` on first use.
+"""
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+
+import numpy as np
+
+_NATIVE_DIR = os.path.join(os.path.dirname(__file__), "..", "..", "native")
+_LIB = None
+
+PD_FLOATS = 50      # pTarget, dTarget, pGain, dGain, ff x 10
+STATE_FLOATS = 73
+
+
+class _HeaderInfo(ctypes.Structure):
+    _fields_ = [("seq_num_out", ctypes.c_uint8),
+                ("seq_num_in_last", ctypes.c_uint8),
+                ("delay", ctypes.c_int),
+                ("seq_num_in_diff", ctypes.c_int)]
+
+
+def _lib():
+    global _LIB
+    if _LIB is None:
+        path = os.path.join(_NATIVE_DIR, "libapex_udp.so")
+        if not os.path.exists(path):
+            subprocess.check_call(["make", "-C", _NATIVE_DIR, "-s"])
+        lib = ctypes.CDLL(path)
+        lib.apex_udp_init_host.restype = ctypes.c_int
+        lib.apex_udp_init_host.argtypes = [ctypes.c_char_p, ctypes.c_uint16]
+        lib.apex_udp_init_client.restype = ctypes.c_int
+        lib.apex_udp_init_client.argtypes = [
+            ctypes.c_char_p, ctypes.c_uint16, ctypes.c_char_p,
+            ctypes.c_uint16]
+        lib.apex_send_pd.argtypes = [
+            ctypes.c_int, ctypes.POINTER(_HeaderInfo),
+            ctypes.POINTER(ctypes.c_float), ctypes.c_uint8]
+        lib.apex_send_state.argtypes = [
+            ctypes.c_int, ctypes.POINTER(_HeaderInfo),
+            ctypes.POINTER(ctypes.c_float), ctypes.c_uint8]
+        lib.apex_recv_newest_pd.argtypes = [
+            ctypes.c_int, ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_uint8)]
+        lib.apex_recv_newest_state.argtypes = [
+            ctypes.c_int, ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_uint8)]
+        lib.apex_wait_for_packet.argtypes = [ctypes.c_int, ctypes.c_int]
+        _LIB = lib
+    return _LIB
+
+
+class CassieUdp:
+    """Operator-side link (reference CassieUdp, cassiemujoco.py:404-482):
+    sends PD commands, receives state packets."""
+
+    def __init__(self, remote_addr="10.10.10.3", remote_port=25000,
+                 local_addr="0.0.0.0", local_port=25001):
+        lib = _lib()
+        self.sock = lib.apex_udp_init_client(
+            remote_addr.encode(), remote_port, local_addr.encode(),
+            local_port)
+        if self.sock < 0:
+            raise OSError("udp client init failed")
+        self.info = _HeaderInfo(0, 0, 0, 0)
+        self._last_seq_in = ctypes.c_uint8(0)
+
+    def send_pd(self, pd: np.ndarray):
+        pd = np.ascontiguousarray(pd, dtype=np.float32)
+        assert pd.size == PD_FLOATS
+        _lib().apex_send_pd(
+            self.sock, ctypes.byref(self.info),
+            pd.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            self._last_seq_in.value)
+
+    def recv_newest(self):
+        """Latest state packet as a (STATE_FLOATS,) array, or None."""
+        out = np.zeros(STATE_FLOATS, dtype=np.float32)
+        n = _lib().apex_recv_newest_state(
+            self.sock, out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            ctypes.byref(self._last_seq_in))
+        return out if n >= STATE_FLOATS else None
+
+    def wait(self, timeout_ms=1000):
+        return _lib().apex_wait_for_packet(self.sock, timeout_ms) > 0
+
+    @property
+    def delay(self):
+        return self.info.delay
+
+    @property
+    def seq_num_in_diff(self):
+        return self.info.seq_num_in_diff
+
+    def close(self):
+        _lib().apex_udp_close(self.sock)
+
+
+class RobotSideLink:
+    """Robot/simulator-side counterpart: receives PD commands, sends state
+    packets (the role the firmware plays)."""
+
+    def __init__(self, local_addr="0.0.0.0", local_port=25000,
+                 remote_addr="127.0.0.1", remote_port=25001):
+        lib = _lib()
+        self.sock = lib.apex_udp_init_client(
+            remote_addr.encode(), remote_port, local_addr.encode(),
+            local_port)
+        if self.sock < 0:
+            raise OSError("udp host init failed")
+        self.info = _HeaderInfo(0, 0, 0, 0)
+        self._last_seq_in = ctypes.c_uint8(0)
+
+    def recv_newest_pd(self):
+        out = np.zeros(PD_FLOATS, dtype=np.float32)
+        n = _lib().apex_recv_newest_pd(
+            self.sock, out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            ctypes.byref(self._last_seq_in))
+        return out if n >= PD_FLOATS else None
+
+    def send_state(self, state: np.ndarray):
+        state = np.ascontiguousarray(state, dtype=np.float32)
+        assert state.size == STATE_FLOATS
+        _lib().apex_send_state(
+            self.sock, ctypes.byref(self.info),
+            state.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            self._last_seq_in.value)
+
+    def wait(self, timeout_ms=1000):
+        return _lib().apex_wait_for_packet(self.sock, timeout_ms) > 0
+
+    def close(self):
+        _lib().apex_udp_close(self.sock)
