@@ -215,7 +215,12 @@ class CassieTrajEnv(Env):
         self._freq = 2000 // self.simrate
         self._offset = jnp.asarray(NEUTRAL_OFFSET)
         self._neutral_foot = jnp.asarray(NEUTRAL_FOOT_ORIENT)
-        self._early_term_cutoff = -99.0 if not self._iros else 0.3
+        if self._iros:
+            self._early_term_cutoff = 0.3    # cassie_traj.py:59
+        elif self.reward == "aslip_old":
+            self._early_term_cutoff = 0.0    # cassie_traj.py:912
+        else:
+            self._early_term_cutoff = -99.0
 
     # ------------------------------------------------------------------
     def get_ref_state(self, state: CassieTrajEnvState, phase):
@@ -387,7 +392,11 @@ class CassieTrajEnv(Env):
         prev_torque = jnp.where(first, diag_last.motor_torque,
                                 state.prev_torque)
 
-        if self._iros:
+        if self.reward == "aslip_old" and self.aslip:
+            reward = self._aslip_old_reward(
+                new_state, est, action[:10], prev_action[:10],
+                l_or.mean() + r_or.mean())
+        elif self._iros:
             reward = self._iros_reward(new_state)
         else:
             from apex_tpu.rewards.clock import GaitClock
@@ -442,6 +451,31 @@ class CassieTrajEnv(Env):
             1000.0 * (ref_pos[spring_idx] - qpos[spring_idx]) ** 2)
         return (0.5 * jnp.exp(-joint_error) + 0.3 * jnp.exp(-com_error)
                 + 0.1 * jnp.exp(-orient_error) + 0.1 * jnp.exp(-spring_error))
+
+    def _aslip_old_reward(self, state, est, action, prev_action,
+                          foot_orient_cost):
+        """aslip_old_reward (rewards/aslip_rewards.py:5-69): task-space foot
+        and com-velocity tracking against the gait library."""
+        qpos = state.phys.qpos
+        p = jnp.where(state.phase > state.phaselen, 0.0, state.phase)
+        idx = jnp.clip(p.astype(jnp.int32), 0,
+                       self._traj_len[state.traj_idx] - 1)
+        t = state.traj_idx
+        ref_lfoot = self._task["lpos"][t, idx]
+        ref_rfoot = self._task["rpos"][t, idx]
+        ref_cvel = self._task["cvel"][t, idx]
+
+        footpos_error = (jnp.sum(jnp.abs(est.left_foot_position - ref_lfoot))
+                         + jnp.sum(jnp.abs(est.right_foot_position - ref_rfoot)))
+        com_vel_error = jnp.sum(jnp.abs(est.pelvis_trans_vel - ref_cvel))
+        action_penalty = jnp.linalg.norm(action - prev_action)
+        straight_diff = jnp.abs(qpos[1])
+        straight_diff = jnp.where(straight_diff < 0.05, 0.0, straight_diff)
+        return (0.3 * jnp.exp(-footpos_error)
+                + 0.3 * jnp.exp(-com_vel_error)
+                + 0.1 * jnp.exp(-action_penalty)
+                + 0.2 * jnp.exp(-foot_orient_cost)
+                + 0.1 * jnp.exp(-straight_diff))
 
     # ------------------------------------------------------------------
     def _rotate_to_orient(self, orient_add, vec):

@@ -68,6 +68,14 @@ class PhysParams:
     ext_force: jnp.ndarray     # (6,) [torque, force] world wrench on the
                                # root body (cassie_sim_apply_force equivalent,
                                # include/cassiemujoco.h)
+    # heightfield terrain (cassie_sim_set_hfielddata / hfield_size
+    # equivalents; reference terrain xml variants). heights in meters on a
+    # HFIELD_RES^2 grid spanning +-hfield_radius; all-zeros = flat. When
+    # hfield_active > 0 the terrain path replaces the (possibly tilted)
+    # plane.
+    hfield: jnp.ndarray        # (HFIELD_RES, HFIELD_RES)
+    hfield_radius: jnp.ndarray  # scalar, half-extent in x and y
+    hfield_active: jnp.ndarray  # scalar 0/1
 
     @staticmethod
     def from_model(model: PhysModel) -> "PhysParams":
@@ -79,7 +87,35 @@ class PhysParams:
             floor_quat=jnp.asarray(model.floor_quat),
             floor_pos=jnp.asarray(model.floor_pos),
             ext_force=jnp.zeros(6),
+            hfield=jnp.zeros((HFIELD_RES, HFIELD_RES)),
+            hfield_radius=jnp.asarray(10.0),
+            hfield_active=jnp.zeros(()),
         )
+
+
+HFIELD_RES = 32
+
+
+def hfield_lookup(params: "PhysParams", xy: jnp.ndarray):
+    """Bilinear terrain height + gradient at world xy ((..., 2)).
+
+    Grid is centered on params.floor_pos, spanning +-hfield_radius."""
+    n = HFIELD_RES
+    cell = 2.0 * params.hfield_radius / (n - 1)
+    u = (xy - params.floor_pos[0:2]) / cell + (n - 1) / 2.0
+    u = jnp.clip(u, 0.0, n - 1.001)
+    i0 = jnp.floor(u).astype(jnp.int32)
+    f = u - i0
+    h00 = params.hfield[i0[..., 0], i0[..., 1]]
+    h10 = params.hfield[i0[..., 0] + 1, i0[..., 1]]
+    h01 = params.hfield[i0[..., 0], i0[..., 1] + 1]
+    h11 = params.hfield[i0[..., 0] + 1, i0[..., 1] + 1]
+    fx, fy = f[..., 0], f[..., 1]
+    h = (h00 * (1 - fx) * (1 - fy) + h10 * fx * (1 - fy)
+         + h01 * (1 - fx) * fy + h11 * fx * fy)
+    dhdx = ((h10 - h00) * (1 - fy) + (h11 - h01) * fy) / cell
+    dhdy = ((h01 - h00) * (1 - fx) + (h11 - h10) * fx) / cell
+    return h, dhdx, dhdy
 
 
 class Kinematics(NamedTuple):
@@ -493,7 +529,19 @@ def constraint_forces(model: PhysModel, params: PhysParams, dyn: Dynamics,
         cb = jnp.asarray(st.con_body)
         p = kin.xpos[cb] + jnp.einsum(
             "cij,cj->ci", kin.ximat[cb], jnp.asarray(st.con_offset))  # (nc,3)
-        depth = jnp.asarray(st.con_radius) - (p - floor_p) @ n_w      # (nc,)
+        radius = jnp.asarray(st.con_radius)
+        # plane terrain (possibly tilted by slope randomization)
+        depth_plane = radius - (p - floor_p) @ n_w                    # (nc,)
+        # heightfield terrain (replaces the plane when active)
+        p_world = p + kin.origin
+        h, dhdx, dhdy = hfield_lookup(params, p_world[:, 0:2])
+        n_h = jnp.stack([-dhdx, -dhdy, jnp.ones_like(h)], axis=-1)
+        n_h = n_h / jnp.linalg.norm(n_h, axis=-1, keepdims=True)
+        depth_h = radius + (params.floor_pos[2] + h) - p_world[:, 2]
+        active = params.hfield_active > 0.5
+        depth = jnp.where(active, depth_h, depth_plane)
+        n_c = jnp.where(active, n_h, jnp.broadcast_to(n_w, n_h.shape))
+
         bv = dyn.body_vel[cb]                                         # (nc,6)
         v_p = bv[:, 3:] + jnp.cross(bv[:, :3], p)                     # (nc,3)
 
@@ -503,13 +551,13 @@ def constraint_forces(model: PhysModel, params: PhysParams, dyn: Dynamics,
         J = jnp.asarray(st.con_mask)[:, :, None] * cols
         JM = jnp.einsum("cvi,vw->cwi", J, dyn.Minv)
         G = jnp.einsum("cwi,cwj->cij", JM, J)                         # (nc,3,3)
-        g_n = jnp.einsum("i,cij,j->c", n_w, G, n_w)
+        g_n = jnp.einsum("ci,cij,cj->c", n_c, G, n_c)
         m_n = 1.0 / jnp.maximum(g_n, 1e-8)
-        vn = v_p @ n_w
+        vn = jnp.sum(v_p * n_c, axis=-1)
         fn = jnp.maximum(0.0, m_n * (k_unit * depth - b_unit * vn))
         fn = jnp.where(depth > 0, fn, 0.0)
 
-        vt = v_p - vn[:, None] * n_w[None, :]
+        vt = v_p - vn[:, None] * n_c
         vt_norm = jnp.linalg.norm(vt, axis=-1) + 1e-9
         trG = G[:, 0, 0] + G[:, 1, 1] + G[:, 2, 2]
         m_t = 1.0 / jnp.maximum((trG - g_n) / 2.0, 1e-8)
@@ -518,10 +566,10 @@ def constraint_forces(model: PhysModel, params: PhysParams, dyn: Dynamics,
         ft_mag = jnp.minimum(params.friction * fn, f_stick)
         ft = -(ft_mag / vt_norm)[:, None] * vt
 
-        f = fn[:, None] * n_w[None, :] + ft                           # (nc,3)
+        f = fn[:, None] * n_c + ft                                    # (nc,3)
         qfrc = qfrc + jnp.einsum("cvi,ci->v", J, f)
         contact_info = ContactInfo(force=f, depth=depth,
-                                   pos=p + kin.origin, vel=v_p)
+                                   pos=p_world, vel=v_p)
     else:
         contact_info = ContactInfo(force=jnp.zeros((0, 3)),
                                    depth=jnp.zeros((0,)),

@@ -249,3 +249,18 @@ def test_cassie_standing_mechanism():
     weight = float(np.sum(np.asarray(m.body_mass))) * 9.81
     assert 0.5 * weight < total_grf < 1.5 * weight, (
         f"GRF {total_grf} vs weight {weight}")
+
+
+def test_hfield_contact_rest_height():
+    """Ball rests on a raised heightfield at terrain height + radius."""
+    from apex_tpu.physics.engine import HFIELD_RES
+
+    model = parse_mjcf_string(BALL_DROP_XML)
+    params = PhysParams.from_model(model)
+    params = params.replace(
+        hfield=jnp.full((HFIELD_RES, HFIELD_RES), 0.3),
+        hfield_active=jnp.ones(()))
+    qpos = jnp.asarray(model.qpos0).at[2].set(1.0)
+    qp, qv = _rollout(model, params, qpos, jnp.zeros(model.nv),
+                      jnp.zeros(0), 4000)
+    assert abs(float(qp[2]) - 0.4) < 0.02, f"rest z {float(qp[2])}"
