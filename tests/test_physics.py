@@ -264,3 +264,35 @@ def test_hfield_contact_rest_height():
     qp, qv = _rollout(model, params, qpos, jnp.zeros(model.nv),
                       jnp.zeros(0), 4000)
     assert abs(float(qp[2]) - 0.4) < 0.02, f"rest z {float(qp[2])}"
+
+
+def test_fk_matches_mujoco_recorded_constants():
+    """Golden FK validation against MuJoCo-derived data shipped with the
+    reference: (a) the standing-pose foot orientation must match the
+    neutral_foot_orient constant recorded from the C simulator
+    (reference cassie.py:121); (b) foot heights over Agility's recorded
+    2 kHz walking trajectory must track the ground plausibly (stance ankle
+    ~0.05-0.07 m, swing apex < 0.25 m)."""
+    from apex_tpu.envs.cassie import NEUTRAL_FOOT_ORIENT
+    from apex_tpu.envs.trajectory import CassieTrajectory
+    from apex_tpu.physics.cassie_sim import CASSIE_QPOS_INIT, cassie_model
+    from apex_tpu.physics.engine import forward_kinematics
+
+    m = cassie_model()
+    params = PhysParams.from_model(m)
+    lf, rf = m.body_id("left-foot"), m.body_id("right-foot")
+
+    kin = jax.jit(lambda q: forward_kinematics(m, params, q))(
+        jnp.asarray(CASSIE_QPOS_INIT))
+    lq = np.asarray(kin.xquat[lf])
+    cos_angle = abs(float(np.dot(lq, NEUTRAL_FOOT_ORIENT)))
+    assert cos_angle > 0.9995, f"foot orientation off: |<q,q_ref>|={cos_angle}"
+
+    traj = CassieTrajectory("walking")
+    fk = jax.jit(jax.vmap(lambda q: forward_kinematics(m, params, q)))
+    idx = np.arange(0, len(traj), 40)
+    kin = fk(jnp.asarray(traj.qpos[idx]))
+    for fid in (lf, rf):
+        z = np.asarray(kin.xpos[:, fid, 2] + kin.origin[:, 2])
+        assert 0.03 < z.min() < 0.09, f"stance ankle height {z.min()}"
+        assert z.max() < 0.25, f"swing apex {z.max()}"
