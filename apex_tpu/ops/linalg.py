@@ -73,3 +73,42 @@ def spd_inverse(A: jnp.ndarray) -> jnp.ndarray:
     n = A.shape[-1]
     eye = jnp.broadcast_to(jnp.eye(n, dtype=A.dtype), A.shape)
     return spd_solve(A, eye)
+
+
+def _on_tpu() -> bool:
+    try:
+        import jax
+
+        return jax.default_backend() not in ("cpu", "gpu")
+    except Exception:
+        return False
+
+
+def make_batched_spd_inverse():
+    """spd_inverse with a custom vmap rule: the physics engine is written
+    per-env and vmapped over the fleet; under vmap this routes the whole
+    batch through ONE fused Pallas kernel (ops/pallas_linalg.py) instead of
+    ~100 sequential XLA fusions per call -- the env fleet is kernel-launch
+    bound without it. Falls back to the unrolled form on CPU (tests)."""
+    import jax
+
+    @jax.custom_batching.custom_vmap
+    def f(A):
+        return spd_inverse(A)
+
+    @f.def_vmap
+    def _rule(axis_size, in_batched, A):
+        (a_batched,) = in_batched
+        if not a_batched:
+            return spd_inverse(A), False
+        if _on_tpu() and A.ndim == 3:
+            from apex_tpu.ops.pallas_linalg import pallas_spd_inverse
+
+            block = 128 if A.shape[0] % 128 == 0 or A.shape[0] > 128 else A.shape[0]
+            return pallas_spd_inverse(A, block_b=min(block, 128)), True
+        return spd_inverse(A), True
+
+    return f
+
+
+batched_spd_inverse = make_batched_spd_inverse()

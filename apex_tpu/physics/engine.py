@@ -36,7 +36,7 @@ import jax.numpy as jnp
 import numpy as np
 from flax import struct
 
-from apex_tpu.ops.linalg import spd_inverse, spd_solve
+from apex_tpu.ops.linalg import batched_spd_inverse, spd_solve
 from apex_tpu.physics.spec import (
     DOF_WIDTH,
     JointType,
@@ -476,9 +476,12 @@ def compute_dynamics(model: PhysModel, params: PhysParams, qpos: jnp.ndarray,
     M = M + jnp.diag(jnp.asarray(model.dof_armature))
 
     # effective-mass inverse for constraint impedances (damped M for
-    # consistency with the implicit integrator). Unrolled SPD inverse: XLA's
-    # pivoted-LU inv is pathologically slow/fragile batched on TPU.
-    Minv = spd_inverse(M + model.timestep * jnp.diag(params.dof_damping))
+    # consistency with the implicit integrator). Under vmap this routes the
+    # whole fleet through one fused Pallas Cholesky-inverse kernel; XLA's
+    # pivoted-LU inv is pathologically slow/fragile batched on TPU and the
+    # unrolled jnp form is kernel-launch bound.
+    Minv = batched_spd_inverse(
+        M + model.timestep * jnp.diag(params.dof_damping))
 
     return Dynamics(kin=kin, body_vel=body_vel, cdof_dot=cdof_dot, M=M,
                     Minv=Minv, qfrc_bias=qfrc_bias)

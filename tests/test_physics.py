@@ -159,9 +159,13 @@ def test_rnea_matches_mass_matrix_gravity():
     dyn = compute_dynamics(model, params, qpos, qvel)
 
     def potential(q):
-        d = compute_dynamics(model, params, q, jnp.zeros(2))
+        # FK only: the full dynamics pass routes Minv through a custom_vmap
+        # (pallas kernel) that does not define an autodiff rule
+        from apex_tpu.physics.engine import forward_kinematics
+
+        kin = forward_kinematics(model, params, q)
         g = jnp.asarray(model.gravity)
-        return -jnp.sum(params.body_mass * ((d.kin.xipos + d.kin.origin) @ g))
+        return -jnp.sum(params.body_mass * ((kin.xipos + kin.origin) @ g))
 
     dV = jax.grad(potential)(qpos)
     np.testing.assert_allclose(dyn.qfrc_bias, dV, rtol=1e-3, atol=1e-4)
