@@ -155,6 +155,10 @@ class CassieEnv(Env):
     encoder_noise: float = 0.01
     strict_relaxer: float = 0.1          # cassie.py:92
     clock_based: bool = True
+    # append the true randomized dynamics parameters to the observation
+    # (reference cassie_noaccel_footdist_omniscient.py: dof damping + body
+    # masses + friction for a privileged critic)
+    omniscient: bool = False
 
     def __post_init__(self):
         self.model = cassie_model()
@@ -173,6 +177,9 @@ class CassieEnv(Env):
         else:
             ext = 4 if self.command_profile == "clock" else 9
         self._base_obs = base + ext
+        if self.omniscient:
+            # dof damping (32) + body masses (25) + friction (1)
+            self._base_obs += 32 + 25 + 1
         self.observation_size = self._base_obs * (1 + self.history)
         self.action_size = 30 if self.learn_gains else 10
         self.mirrored_acts = (MIRROR_ACTS_GAINS if self.learn_gains
@@ -181,6 +188,7 @@ class CassieEnv(Env):
                     "footdist": MIRROR_OBS_FOOTDIST,
                     "noaccel_footdist": MIRROR_OBS_NOACCEL_FOOTDIST}[
             self.input_profile]
+        # command appendix (and omniscient params) mirror to themselves
         append = list(range(len(base_mir), self._base_obs))
         self.mirrored_obs = list(base_mir) + append
         self.clock_inds = [len(base_mir), len(base_mir) + 1]
@@ -486,6 +494,10 @@ class CassieEnv(Env):
                     new_orient, motor_pos, new_tvel, est.pelvis_rot_vel,
                     est.motor_velocity, joint_pos, joint_vel])
             base = jnp.concatenate([robot, ext])
+            if self.omniscient:
+                base = jnp.concatenate([
+                    base, state.params.dof_damping, state.params.body_mass,
+                    state.params.friction[None]])
             hist = jnp.roll(state.obs_history, 1, axis=0).at[0].set(base)
             return hist.reshape(-1), hist
 
@@ -521,5 +533,9 @@ class CassieEnv(Env):
                 est.motor_velocity, new_tacc, joint_pos, est.joint_velocity])
 
         base = jnp.concatenate([robot, ext])
+        if self.omniscient:
+            base = jnp.concatenate([
+                base, state.params.dof_damping, state.params.body_mass,
+                state.params.friction[None]])
         hist = jnp.roll(state.obs_history, 1, axis=0).at[0].set(base)
         return hist.reshape(-1), hist

@@ -83,3 +83,33 @@ def eval_checkpoint(path: str, n_episodes: int = 16, traj_len: int = 400,
             terminated=np.asarray(traj.terminated))
         print(f"wrote trajectory dump: {out}")
     return ep_ret, ep_len
+
+
+def dump_gait(path: str, out: str = "gait.npz", n_steps: int = 200,
+              speed: float = 1.0):
+    """Record qpos of one policy rollout for offline rendering
+    (tools/render_gait.py) -- the TPU-side replacement for the live viewer
+    (reference cassie_vis_*)."""
+    ppo, state, _ = load_experiment(path)
+    env = ppo.env
+
+    s, obs = jax.jit(env.reset)(jax.random.PRNGKey(0))
+    if hasattr(s, "speed"):
+        s = s.replace(speed=jnp.asarray(speed))
+
+    @jax.jit
+    def run(s, obs):
+        def body(carry, key):
+            st, ob = carry
+            action = state.actor.act(state.norm, ob, deterministic=True)
+            st2, ob2, _r, _t, _ = env.step(st, action, key)
+            return (st2, ob2), st2.phys.qpos
+
+        keys = jax.random.split(jax.random.PRNGKey(1), n_steps)
+        _, qpos = jax.lax.scan(body, (s, obs), keys)
+        return qpos
+
+    qpos = np.asarray(run(s, obs))
+    np.savez_compressed(out, qpos=qpos)
+    print(f"wrote {out}: qpos {qpos.shape}")
+    return qpos
