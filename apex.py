@@ -153,11 +153,17 @@ def main():
         parser.add_argument("--traj_len", type=int, default=400)
         parser.add_argument("--out", type=str, default=None,
                             help="npz path for trajectory dump")
+        parser.add_argument("--gait", type=str, default=None,
+                            help="npz path for a qpos gait recording "
+                                 "(render with tools/render_gait.py)")
+        parser.add_argument("--speed", type=float, default=1.0)
         args = parser.parse_args()
-        from apex_tpu.runtime.evaluate import eval_checkpoint
+        from apex_tpu.runtime.evaluate import dump_gait, eval_checkpoint
 
         eval_checkpoint(args.path, n_episodes=args.n_episodes,
                         traj_len=args.traj_len, out=args.out)
+        if args.gait:
+            dump_gait(args.path, out=args.gait, speed=args.speed)
 
     else:
         print(f"unknown subcommand {cmd}")

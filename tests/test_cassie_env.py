@@ -101,3 +101,29 @@ def test_no_dyn_randomization_keeps_defaults():
     np.testing.assert_allclose(np.asarray(s.params.body_mass),
                                np.asarray(default.body_mass))
     np.testing.assert_allclose(np.asarray(s.motor_enc_noise), np.zeros(10))
+
+
+def test_history_stacking():
+    """history=N stacks N+1 frames (reference cassie.py:51-55, 856-859)."""
+    env = CassieEnv(dynamics_randomization=False, reward="early_clock",
+                    history=2)
+    assert env.observation_size == 50 * 3
+    state, obs = jax.jit(env.reset)(jax.random.PRNGKey(0))
+    assert obs.shape == (150,)
+    s1, o1, _, _, _ = jax.jit(env.step)(state, jnp.zeros(10),
+                                        jax.random.PRNGKey(1))
+    # newest frame first: after one step, frame[1] == previous frame[0]
+    np.testing.assert_allclose(np.asarray(o1[50:100]),
+                               np.asarray(obs[0:50]), rtol=1e-6)
+
+
+def test_omniscient_appends_params():
+    env = CassieEnv(omniscient=True, dynamics_randomization=True,
+                    reward="early_clock")
+    assert env.observation_size == 50 + 58
+    s, o = jax.jit(env.reset)(jax.random.PRNGKey(0))
+    # the appended block contains the randomized dynamics parameters
+    np.testing.assert_allclose(np.asarray(o[50:82]),
+                               np.asarray(s.params.dof_damping), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(o[82:107]),
+                               np.asarray(s.params.body_mass), rtol=1e-6)
