@@ -9,6 +9,14 @@ import argparse
 import os
 import sys
 
+# APEX_PLATFORM=cpu forces the host backend (this image pins the TPU
+# platform at interpreter start, so a plain JAX_PLATFORMS env var is too
+# late -- the config must be updated post-import)
+if os.environ.get("APEX_PLATFORM"):
+    import jax
+
+    jax.config.update("jax_platforms", os.environ["APEX_PLATFORM"])
+
 
 def _common_env_args(parser):
     parser.add_argument("--env_name", default="Cassie-v0")

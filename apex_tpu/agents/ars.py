@@ -15,6 +15,7 @@ import time
 from typing import Any
 
 import jax
+import jax.flatten_util  # registers jax.flatten_util.ravel_pytree
 import jax.numpy as jnp
 import numpy as np
 from flax import struct

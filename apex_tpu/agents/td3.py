@@ -278,7 +278,7 @@ class TD3:
               verbose: bool = True) -> TD3TrainState:
         cfg = self.config
         steps_per_iter = cfg.collect_steps * cfg.num_envs
-        n_iters = int(max_timesteps) // steps_per_iter
+        n_iters = max(1, int(max_timesteps) // steps_per_iter)
         warmup_iters = max(1, cfg.start_timesteps // steps_per_iter)
         highest = -np.inf
         total_steps = 0
