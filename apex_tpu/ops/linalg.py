@@ -112,3 +112,32 @@ def make_batched_spd_inverse():
 
 
 batched_spd_inverse = make_batched_spd_inverse()
+
+
+def make_batched_spd_solve():
+    """spd_solve with a custom vmap rule: under vmap on TPU the batch is
+    solved via the fused Pallas inverse kernel (x = A^-1 b); unrolled
+    elsewhere."""
+    import jax
+
+    @jax.custom_batching.custom_vmap
+    def f(A, b):
+        return spd_solve(A, b)
+
+    @f.def_vmap
+    def _rule(axis_size, in_batched, A, b):
+        a_b, b_b = in_batched
+        if not (a_b and b_b):
+            # mixed/unbatched: fall back to the unrolled form broadcast
+            return spd_solve(A, b), a_b or b_b
+        if _on_tpu() and A.ndim == 3 and b.ndim == 2:
+            from apex_tpu.ops.pallas_linalg import pallas_spd_inverse
+
+            Ai = pallas_spd_inverse(A, block_b=min(A.shape[0], 128))
+            return jnp.einsum("bij,bj->bi", Ai, b), True
+        return spd_solve(A, b), True
+
+    return f
+
+
+batched_spd_solve = make_batched_spd_solve()

@@ -36,7 +36,7 @@ import jax.numpy as jnp
 import numpy as np
 from flax import struct
 
-from apex_tpu.ops.linalg import batched_spd_inverse, spd_solve
+from apex_tpu.ops.linalg import batched_spd_inverse, batched_spd_solve
 from apex_tpu.physics.spec import (
     DOF_WIDTH,
     JointType,
@@ -715,7 +715,7 @@ def step(model: PhysModel, params: PhysParams, qpos: jnp.ndarray,
         d = jax.lax.rsqrt(jnp.diag(G) + 1e-12)
         Gs = d[:, None] * G * d[None, :] + 1e-6 * jnp.eye(G.shape[0])
         rhs = -(J_eq @ v_pred + (BAUMGARTE_BETA / h) * err)
-        lam = d * spd_solve(Gs, d * rhs)
+        lam = d * batched_spd_solve(Gs, d * rhs)
         new_qvel = v_pred + Ainv @ (J_eq.T @ lam)
     else:
         new_qvel = v_pred

@@ -30,7 +30,7 @@ def _alarm(sec):
     signal.alarm(sec)
 
 
-def bench_cassie_ppo(num_envs=512, iters=3):
+def bench_cassie_ppo(num_envs=1024, iters=3):
     import jax
 
     from apex_tpu.agents.ppo import PPO, PPOConfig
