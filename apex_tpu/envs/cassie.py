@@ -94,6 +94,16 @@ MIRROR_OBS_NOACCEL_FOOTDIST = [
     3, 4, 5, 0.1, 1, 2, 6, -7, 8, -9, -15, -16, 17, 18, 19, -10, -11, 12,
     13, 14, 20, -21, 22, -23, 24, -25, -31, -32, 33, 34, 35, -26, -27, 28,
     29, 30, 38, 39, 36, 37, 42, 43, 40, 41]
+# cassie_novel_footdist_env.py:261-263 (no pelvis trans vel/accel)
+MIRROR_OBS_NOVEL_FOOTDIST = [
+    3, 4, 5, 0.1, 1, 2, 6, -7, 8, -9, -15, -16, 17, 18, 19, -10, -11, 12,
+    13, 14, -20, 21, -22, -28, -29, 30, 31, 32, -23, -24, 25, 26, 27,
+    35, 36, 33, 34, 39, 40, 37, 38]
+# cassie_noaccel_footdist_nojoint_env.py:232-233 (no joint pos/vel)
+MIRROR_OBS_NOJOINT = [
+    3, 4, 5, 0.1, 1, 2, 6, -7, 8, -9, -15, -16, 17, 18, 19, -10, -11, 12,
+    13, 14, 20, -21, 22, -23, 24, -25, -31, -32, 33, 34, 35, -26, -27, 28,
+    29, 30]
 
 # dyn-rand dof-damping scaling mask (reference cassie.py:571-596: pelvis,
 # heel-spring and plantar-rod dofs keep default damping)
@@ -168,10 +178,10 @@ class CassieEnv(Env):
         # variants use a 3-dim [clock, speed] command appendix and a
         # phaselen+1 clock divisor (cassie_noaccel_footdist_env.py:~520).
         sizes = {"full": 46, "min": 21, "footdist": 51,
-                 "noaccel_footdist": 44}
+                 "noaccel_footdist": 44, "novel_footdist": 41,
+                 "noaccel_footdist_nojoint": 36}
         base = sizes[self.input_profile]
-        self._research_variant = self.input_profile in (
-            "footdist", "noaccel_footdist")
+        self._research_variant = self.input_profile not in ("full", "min")
         if self._research_variant:
             ext = 3
         else:
@@ -186,7 +196,9 @@ class CassieEnv(Env):
                               else MIRROR_ACTS)
         base_mir = {"full": MIRROR_OBS_FULL, "min": MIRROR_OBS_MIN,
                     "footdist": MIRROR_OBS_FOOTDIST,
-                    "noaccel_footdist": MIRROR_OBS_NOACCEL_FOOTDIST}[
+                    "noaccel_footdist": MIRROR_OBS_NOACCEL_FOOTDIST,
+                    "novel_footdist": MIRROR_OBS_NOVEL_FOOTDIST,
+                    "noaccel_footdist_nojoint": MIRROR_OBS_NOJOINT}[
             self.input_profile]
         # command appendix (and omniscient params) mirror to themselves
         append = list(range(len(base_mir), self._base_obs))
@@ -482,9 +494,10 @@ class CassieEnv(Env):
                     new_orient, motor_pos, new_tvel, est.pelvis_rot_vel,
                     est.motor_velocity, new_tacc, joint_pos,
                     est.joint_velocity])
-            else:  # noaccel_footdist: no accel, no foot-joint entries;
-                   # joint_vel repeats the left shin/tarsus (reference quirk,
-                   # cassie_noaccel_footdist_env.py joint_vel slice)
+            elif self.input_profile == "noaccel_footdist":
+                # no accel, no foot-joint entries; joint_vel repeats the
+                # left shin/tarsus (reference quirk,
+                # cassie_noaccel_footdist_env.py joint_vel slice)
                 jp = est.joint_position + state.joint_enc_noise
                 joint_pos = jnp.concatenate([jp[0:2], jp[3:5]])
                 jv = est.joint_velocity
@@ -493,6 +506,23 @@ class CassieEnv(Env):
                     est.left_foot_position, est.right_foot_position,
                     new_orient, motor_pos, new_tvel, est.pelvis_rot_vel,
                     est.motor_velocity, joint_pos, joint_vel])
+            elif self.input_profile == "novel_footdist":
+                # also drops pelvis translational velocity
+                # (cassie_novel_footdist_env.py:992-1003)
+                jp = est.joint_position + state.joint_enc_noise
+                joint_pos = jnp.concatenate([jp[0:2], jp[3:5]])
+                jv = est.joint_velocity
+                joint_vel = jnp.concatenate([jv[0:2], jv[0:2]])
+                robot = jnp.concatenate([
+                    est.left_foot_position, est.right_foot_position,
+                    new_orient, motor_pos, est.pelvis_rot_vel,
+                    est.motor_velocity, joint_pos, joint_vel])
+            else:  # noaccel_footdist_nojoint
+                # (cassie_noaccel_footdist_nojoint_env.py:215, :232-233)
+                robot = jnp.concatenate([
+                    est.left_foot_position, est.right_foot_position,
+                    new_orient, motor_pos, new_tvel, est.pelvis_rot_vel,
+                    est.motor_velocity])
             base = jnp.concatenate([robot, ext])
             if self.omniscient:
                 base = jnp.concatenate([
