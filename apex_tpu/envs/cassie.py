@@ -228,6 +228,19 @@ class CassieEnv(Env):
             self._stance_mode = STANCE_ZERO
         self._switch = "switch" in self.reward   # cassie.py:225-228
         self.switch_speed = 1.8
+        # precomputed reward clock (reference load_reward_clock_funcs,
+        # cassie.py:21-24 + rewards/reward_clock_funcs/*.pkl). Reward name
+        # "load_<pkl-name>" selects the table; the clock is then fixed for
+        # every episode and phaselen keeps the default 32 (cassie.py:85).
+        if self.reward.startswith("load_"):
+            from apex_tpu.rewards.clock import load_reward_clock
+
+            self._loaded_clock = load_reward_clock(
+                self.reward[len("load_"):], phaselen=32.0)
+            self.have_incentive = "no_incentive" not in self.reward
+            self._reward_key = "clock"
+        else:
+            self._loaded_clock = None
 
         self._freq = 2000 // self.simrate
         self._offset = jnp.asarray(NEUTRAL_OFFSET)
@@ -276,6 +289,9 @@ class CassieEnv(Env):
 
     def _make_clock(self, rng, speed):
         """Gait clock for the episode (reset, cassie.py:528-561)."""
+        if self._loaded_clock is not None:
+            swing, stance = speed_to_durations(speed)
+            return self._loaded_clock, swing, stance, self._stance_mode
         if self.command_profile == "phase":
             k_sw, k_st, k_mode = jax.random.split(rng, 3)
             swing = jax.random.randint(k_sw, (), 1, 51) / 100.0

@@ -101,6 +101,30 @@ def build_clock(swing_duration, stance_duration, stance_mode_onehot,
     return GaitClock(x=x24, y=y24, d=d24, phaselen=total)
 
 
+def load_reward_clock(name: str, phaselen: float = 32.0,
+                      speed_idx: int = None) -> GaitClock:
+    """Load one of the reference's precomputed reward clocks
+    (cassie/rewards/reward_clock_funcs/<name>.pkl, converted to dense
+    tables by tools/gen_data_assets.py) as a GaitClock over the dense grid.
+
+    speed_idx selects a speed for the aslip-style per-speed libraries."""
+    import os
+
+    import numpy as np
+
+    path = os.path.join(os.path.dirname(__file__), "..", "data",
+                        "reward_clocks.npz")
+    f = np.load(path)
+    lo, hi = float(f["__grid_lo"]), float(f["__grid_hi"])
+    tab = f[name]
+    if tab.ndim == 3:
+        tab = tab[0 if speed_idx is None else speed_idx]
+    x = jnp.asarray(np.linspace(lo, hi, tab.shape[-1]))
+    y = jnp.asarray(tab)
+    return GaitClock(x=x, y=y, d=pchip_derivatives(x, y),
+                     phaselen=jnp.asarray(phaselen))
+
+
 def speed_to_durations(speed):
     """Swing/stance durations from commanded speed (cassie.py:556-558)."""
     total_duration = (0.9 - 0.25 / 3.0 * jnp.abs(speed)) / 2.0

@@ -83,8 +83,47 @@ def convert_missions():
             print(f"mission {name}{suffix}: {len(d['speed'])} steps")
 
 
+def convert_reward_clocks(grid_n=512, lo=-5.0, hi=45.0):
+    """Sample the 18 precomputed PCHIP reward-clock pickles
+    (cassie/rewards/reward_clock_funcs/) onto dense phase grids.
+
+    plain pickles -> (4, grid_n) channels [l_frc, l_vel, r_frc, r_vel];
+    aslip-style -> (21, 4, grid_n)."""
+    import glob
+
+    import glob as _glob
+    from scipy.interpolate import PPoly
+
+    def ev(spline, t):
+        # the pickles carry PchipInterpolator objects from an old scipy;
+        # rebuild a PPoly from the private knot/coefficient arrays
+        pp = PPoly(np.asarray(spline._c), np.asarray(spline._x))
+        return pp(np.clip(t, pp.x[0], pp.x[-1]))
+
+    d = os.path.join(REF, "cassie/rewards/reward_clock_funcs")
+    grid = np.linspace(lo, hi, grid_n)
+    out = {"__grid_lo": np.float32(lo), "__grid_hi": np.float32(hi)}
+    for p in sorted(_glob.glob(os.path.join(d, "*.pkl"))):
+        name = os.path.basename(p)[:-4]
+        with open(p, "rb") as f:
+            clk = pickle.load(f)
+        left, right = clk["left"], clk["right"]
+        if isinstance(left[0], list):      # per-speed (aslip) library
+            tab = np.stack([
+                np.stack([ev(l[0], grid), ev(l[1], grid),
+                          ev(r[0], grid), ev(r[1], grid)])
+                for l, r in zip(left, right)])
+        else:
+            tab = np.stack([ev(left[0], grid), ev(left[1], grid),
+                            ev(right[0], grid), ev(right[1], grid)])
+        out[name] = tab.astype(np.float32)
+        print(f"reward clock {name}: {tab.shape}")
+    np.savez_compressed(os.path.join(OUT, "reward_clocks.npz"), **out)
+
+
 def main():
     os.makedirs(OUT, exist_ok=True)
+    convert_reward_clocks()
     convert_agility_traj("traj_walking",
                          os.path.join(REF, "cassie/trajectory/stepdata.bin"))
     convert_agility_traj(
