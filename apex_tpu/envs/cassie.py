@@ -134,6 +134,11 @@ class CassieEnvState:
     prev_action: jnp.ndarray          # (10,) or (30,) with learn_gains
     prev_torque: jnp.ndarray          # (10,)
     obs_history: jnp.ndarray          # (history+1, base_obs)
+    # swing-apex flags: set when a foot clears 0.19 m, cleared on contact
+    # (reference step_simulation, cassie_footdist_env.py:313-320); persist
+    # across policy steps for the force/phase-gated foot costs
+    l_high: jnp.ndarray = False
+    r_high: jnp.ndarray = False
 
 
 @dataclasses.dataclass
@@ -218,6 +223,8 @@ class CassieEnv(Env):
             self._reward_key = "no_speed_clock"
         elif "max_vel" in self.reward:
             self._reward_key = "max_vel_clock"
+        elif "aslip" in self.reward:
+            self._reward_key = "aslip_clock"
         else:
             self._reward_key = "clock"
         if "grounded" in self.reward:
@@ -331,6 +338,7 @@ class CassieEnv(Env):
             prev_action=jnp.zeros(self.action_size),
             prev_torque=jnp.zeros(10),
             obs_history=jnp.zeros((self.history + 1, self._base_obs)),
+            l_high=jnp.zeros((), bool), r_high=jnp.zeros((), bool),
         )
         # populate the estimator from FK (reference reset ends with one
         # step_pd to refresh cassie_state, cassie.py:665)
@@ -364,8 +372,18 @@ class CassieEnv(Env):
             2 * jnp.pi / pl1 * (state.phase - pl1 / 2.0)) + 1.0)
         des_height = 0.15
 
-        def substep(carry, _):
-            phys, prev_foot = carry
+        # per-episode loaded-clock gates for the footclock costs (reference
+        # mininput load_clock path, cassie_mininput_env.py:506-510; the
+        # upstream config pins load_clock=False at :88 -- live only through
+        # our "load_<name>" rewards). Gates are constant over the step.
+        if self._loaded_clock is not None:
+            l_gate, _, r_gate, _ = state.clock.eval(state.phase)
+        else:
+            l_gate = r_gate = jnp.zeros(())
+        first_half = state.phase < state.clock.phaselen / 2.0
+
+        def substep(carry, i):
+            phys, prev_foot, prev_tau, l_high, r_high = carry
             phys, diag = pd_substep(m, state.params, phys, cmd)
             foot_vel = (diag.foot_pos - prev_foot) / m.timestep  # (2, 3)
             l_orient = 1.0 - jnp.dot(self._neutral_foot, diag.foot_quat[0]) ** 2
@@ -373,21 +391,76 @@ class CassieEnv(Env):
             hiproll = (jnp.abs(phys.qvel[6]) + jnp.abs(phys.qvel[19])) / 3.0
             hipyaw = jnp.abs(phys.qvel[7]) + jnp.abs(phys.qvel[20])
             lz, rz = diag.foot_pos[0, 2], diag.foot_pos[1, 2]
+            l_frc, r_frc = diag.foot_frc_z[0], diag.foot_frc_z[1]
+
+            # swing-apex flag update (cassie_footdist_env.py:313-320)
+            l_high = jnp.where(l_high & (l_frc > 0), False,
+                               jnp.where(~l_high & (lz >= 0.19), True, l_high))
+            r_high = jnp.where(r_high & (r_frc > 0), False,
+                               jnp.where(~r_high & (rz >= 0.19), True, r_high))
+
             l_ground = lz ** 2 + jnp.linalg.norm(foot_vel[0])
             l_height = 40.0 * (des_height - lz) ** 2
             r_ground = rz ** 2 + jnp.linalg.norm(foot_vel[1])
             r_height = 40.0 * (des_height - rz) ** 2
             l_smooth = zero2zero * l_height + one2one * l_ground
             r_smooth = one2one * r_height + zero2zero * r_ground
+            # var quirk: one2one_var, zero2zero_var = 1, 0
+            # (cassie_mininput_env.py:420)
+            l_var = l_ground
+            r_var = r_height
+            l_clock_cost = l_gate * l_height + (1.0 - l_gate) * l_ground
+            r_clock_cost = r_gate * r_height + (1.0 - r_gate) * r_ground
+
+            # force/high-gated costs use des_height 0.2
+            # (cassie_footdist_env.py:343-387), incl. the upstream quirk of
+            # gating the LEFT lift branch on r_high (:361)
+            l_height2 = 40.0 * (0.2 - lz) ** 2
+            r_height2 = 40.0 * (0.2 - rz) ** 2
+            l_td = 40.0 * lz ** 2 * foot_vel[0, 2] ** 2
+            r_td = 40.0 * rz ** 2 * foot_vel[1, 2] ** 2
+            r_cost = jnp.where(l_frc == 0.0, r_ground,
+                               jnp.where(~r_high, r_height2, r_td))
+            l_cost = jnp.where(r_frc == 0.0, l_ground,
+                               jnp.where(~r_high, l_height2, l_td))
+            # phase-gated even costs (cassie_footdist_env.py:368-387)
+            l_even = jnp.where(first_half,
+                               jnp.where(~l_high, l_height2, l_td), l_ground)
+            r_even = jnp.where(first_half, r_ground,
+                               jnp.where(~r_high, r_height2, r_td))
+
+            # torque costs (cassie_mininput_env.py:512-521); the very first
+            # substep of an episode has no previous torque (prev_torque=None
+            # upstream) and contributes 0
+            tau = diag.motor_torque
+            have_prev = (state.time > 0) | (i > 0)
+            smooth = jnp.where(
+                have_prev,
+                1e-4 * jnp.linalg.norm(jnp.square(tau - prev_tau)), 0.0)
+            torque = 6e-5 * jnp.linalg.norm(jnp.square(tau))
+            l_rollyaw = zero2zero * 6e-3 * jnp.linalg.norm(
+                jnp.square(tau[jnp.asarray([0, 1])]))
+            r_rollyaw = one2one * 6e-3 * jnp.linalg.norm(
+                jnp.square(tau[jnp.asarray([5, 6])]))
+            pel_stable = 0.05 * (jnp.abs(phys.qvel[3:6]).sum()
+                                 + jnp.abs(phys.qacc[0:3]).sum())
+
             track = (diag, foot_vel, l_orient, r_orient, hiproll, hipyaw,
-                     l_smooth, r_smooth)
-            return (phys, diag.foot_pos), track
+                     l_smooth, r_smooth, l_var, r_var, l_clock_cost,
+                     r_clock_cost, l_cost, r_cost, l_even, r_even,
+                     smooth, torque, l_rollyaw, r_rollyaw, pel_stable)
+            return (phys, diag.foot_pos, tau, l_high, r_high), track
 
         prev_foot0 = static_diag(m, state.params, state.phys).foot_pos
-        (phys, _), track = jax.lax.scan(
-            substep, (state.phys, prev_foot0), None, length=self.simrate)
+        (phys, _, _, l_high, r_high), track = jax.lax.scan(
+            substep,
+            (state.phys, prev_foot0, state.prev_torque, state.l_high,
+             state.r_high),
+            jnp.arange(self.simrate))
         (diag_seq, foot_vel_seq, l_or, r_or, hiproll_seq, hipyaw_seq,
-         l_smooth_seq, r_smooth_seq) = track
+         l_smooth_seq, r_smooth_seq, l_var_seq, r_var_seq, l_ck_seq,
+         r_ck_seq, l_cost_seq, r_cost_seq, l_even_seq, r_even_seq,
+         smooth_seq, torque_seq, l_ry_seq, r_ry_seq, pel_stable_seq) = track
         diag_last = jax.tree_util.tree_map(lambda x: x[-1], diag_seq)
 
         l_foot_frc = diag_seq.foot_frc_z[:, 0].mean()
@@ -421,7 +494,9 @@ class CassieEnv(Env):
             action=action[:10], prev_action=prev_action[:10],
             # reward evaluates the clock at the post-increment, post-wrap
             # phase (reference step order, cassie.py:447-472)
-            speed=state.speed, phase=phase)
+            speed=state.speed, phase=phase,
+            est_lfoot_orient=est.left_foot_orientation,
+            est_rfoot_orient=est.right_foot_orientation)
         if self._speedmatch_key is not None:
             from apex_tpu.rewards.speedmatch import (
                 SPEEDMATCH_FUNCS, SpeedmatchInputs)
@@ -431,6 +506,10 @@ class CassieEnv(Env):
                 prev10[jnp.asarray([0, 5])] - action[jnp.asarray([0, 5])])
             hipyaw_act = 2.0 * jnp.linalg.norm(
                 prev10[jnp.asarray([1, 6])] - action[jnp.asarray([1, 6])])
+            # profile-dependent foot-orient scale: the footdist env
+            # accumulates 1x (cassie_footdist_env.py:337), every other
+            # research env 20x (cassie_mininput_env.py:426)
+            oscale = 1.0 if self.input_profile == "footdist" else 20.0
             si = SpeedmatchInputs(
                 qpos=phys.qpos, qvel=phys.qvel, speed=state.speed,
                 orient_add=state.orient_add,
@@ -440,7 +519,31 @@ class CassieEnv(Env):
                 hiproll_cost=hiproll_seq.mean(), hiproll_act=hiproll_act,
                 hipyaw_vel=hipyaw_seq.mean(), hipyaw_act=hipyaw_act,
                 l_foot_cost_smooth=l_smooth_seq.mean(),
-                r_foot_cost_smooth=r_smooth_seq.mean())
+                r_foot_cost_smooth=r_smooth_seq.mean(),
+                side_speed=state.side_speed, time=time_,
+                l_foot_orient=oscale * l_orient_cost,
+                r_foot_orient=oscale * r_orient_cost,
+                l_foot_cost=l_cost_seq.mean(), r_foot_cost=r_cost_seq.mean(),
+                l_foot_cost_even=l_even_seq.mean(),
+                r_foot_cost_even=r_even_seq.mean(),
+                l_foot_cost_var=l_var_seq.mean(),
+                r_foot_cost_var=r_var_seq.mean(),
+                l_foot_cost_clock=l_ck_seq.mean(),
+                r_foot_cost_clock=r_ck_seq.mean(),
+                torque_cost=torque_seq.mean(), smooth_cost=smooth_seq.mean(),
+                pel_stable=pel_stable_seq.mean(),
+                left_rollyaw_torque_cost=l_ry_seq.mean(),
+                right_rollyaw_torque_cost=r_ry_seq.mean(),
+                foot_pos=diag_last.foot_pos,
+                lfoot_vel=l_foot_vel, rfoot_vel=r_foot_vel,
+                l_high=l_high.astype(jnp.float32),
+                r_high=r_high.astype(jnp.float32),
+                # reward-time instantaneous forces (the reference rewards
+                # call sim.get_foot_forces() after the substep loop)
+                l_foot_frc=diag_last.foot_frc_z[0],
+                r_foot_frc=diag_last.foot_frc_z[1],
+                pelvis_accel=est.pelvis_trans_accel,
+                action=action[:10], prev_action=prev_action[:10])
             reward = SPEEDMATCH_FUNCS[self._speedmatch_key](si)
         else:
             reward = REWARD_FUNCS[self._reward_key](state.clock, ri)
@@ -472,6 +575,7 @@ class CassieEnv(Env):
             phys=phys, phase=phase, counter=counter, time=time_,
             speed=speed, side_speed=side_speed, orient_add=orient_add,
             prev_action=action, prev_torque=motor_torque,
+            l_high=l_high, r_high=r_high,
         )
         obs, hist = self._build_obs(new_state, est)
         new_state = new_state.replace(obs_history=hist)

@@ -194,9 +194,18 @@ class CassieTrajEnv(Env):
             self.mirrored_obs = list(base_mir) + shifted
             self.clock_inds = None
 
-        # reward dispatch: iros_paper tracking or the clock family
+        # reward dispatch: reference-trajectory tracking rewards or the
+        # clock family. trajmatch_reward (rewards/trajmatch_reward.py:3-75)
+        # is numerically identical to iros_paper_reward (same 30x weights
+        # and 0.5/0.3/0.1/0.1 mix; its phase-interpolation preamble is
+        # overwritten at :18), so both share _iros_reward.
         self.have_incentive = "no_incentive" not in self.reward
-        self._iros = self.reward == "iros_paper"
+        self._iros = self.reward in ("iros_paper", "trajmatch",
+                                     "trajmatch_reward")
+        self._trajmatch_fo = self.reward in (
+            "trajmatch_footorient_hiprollvelact",
+            "trajmatch_footorient_hiprollvelact_reward")
+        self._jonah = self.reward in ("jonah_RNN", "jonah_RNN_reward")
         if "early" in self.reward:
             self._reward_key = "early_clock"
         elif "no_speed" in self.reward:
@@ -215,7 +224,7 @@ class CassieTrajEnv(Env):
         self._freq = 2000 // self.simrate
         self._offset = jnp.asarray(NEUTRAL_OFFSET)
         self._neutral_foot = jnp.asarray(NEUTRAL_FOOT_ORIENT)
-        if self._iros:
+        if self._iros or self._trajmatch_fo or self._jonah:
             self._early_term_cutoff = 0.3    # cassie_traj.py:59
         elif self.reward == "aslip_old":
             self._early_term_cutoff = 0.0    # cassie_traj.py:912
@@ -370,11 +379,14 @@ class CassieTrajEnv(Env):
             foot_vel = (diag.foot_pos - prev_foot) / m.timestep
             l_orient = 1.0 - jnp.dot(self._neutral_foot, diag.foot_quat[0]) ** 2
             r_orient = 1.0 - jnp.dot(self._neutral_foot, diag.foot_quat[1]) ** 2
-            return (phys, diag.foot_pos), (diag, foot_vel, l_orient, r_orient)
+            hiproll = (jnp.abs(phys.qvel[6]) + jnp.abs(phys.qvel[19])) / 3.0
+            return (phys, diag.foot_pos), (diag, foot_vel, l_orient, r_orient,
+                                           hiproll)
 
         prev_foot0 = static_diag(m, state.params, state.phys).foot_pos
-        (phys, _), (diag_seq, foot_vel_seq, l_or, r_or) = jax.lax.scan(
-            substep, (state.phys, prev_foot0), None, length=self.simrate)
+        (phys, _), (diag_seq, foot_vel_seq, l_or, r_or, hiproll_seq) = \
+            jax.lax.scan(substep, (state.phys, prev_foot0), None,
+                         length=self.simrate)
         diag_last = jax.tree_util.tree_map(lambda x: x[-1], diag_seq)
 
         time_ = state.time + 1
@@ -398,6 +410,15 @@ class CassieTrajEnv(Env):
                 l_or.mean() + r_or.mean())
         elif self._iros:
             reward = self._iros_reward(new_state)
+        elif self._trajmatch_fo:
+            prev10 = prev_action[:10]
+            hiproll_act = 2.0 * jnp.linalg.norm(
+                prev10[jnp.asarray([0, 5])] - action[jnp.asarray([0, 5])])
+            reward = self._trajmatch_footorient_reward(
+                new_state, l_or.mean(), r_or.mean(), hiproll_seq.mean(),
+                hiproll_act)
+        elif self._jonah:
+            reward = self._jonah_rnn_reward(new_state)
         else:
             from apex_tpu.rewards.clock import GaitClock
 
@@ -451,6 +472,49 @@ class CassieTrajEnv(Env):
             1000.0 * (ref_pos[spring_idx] - qpos[spring_idx]) ** 2)
         return (0.5 * jnp.exp(-joint_error) + 0.3 * jnp.exp(-com_error)
                 + 0.1 * jnp.exp(-orient_error) + 0.1 * jnp.exp(-spring_error))
+
+    def _trajmatch_footorient_reward(self, state, l_orient, r_orient,
+                                     hiproll_cost, hiproll_act):
+        """trajmatch_footorient_hiprollvelact_reward
+        (rewards/trajmatch_reward.py:77-151): the iros tracking terms at
+        0.3/0.2/0.1/0.1 plus foot-orient and hip-roll vel/act terms."""
+        qpos = state.phys.qpos
+        ref_pos, _ = self.get_ref_state(state, state.phase)
+        weight = jnp.asarray([0.15, 0.15, 0.1, 0.05, 0.05,
+                              0.15, 0.15, 0.1, 0.05, 0.05])
+        motor_idx = jnp.asarray(MOTOR_QPOS_IDX)
+        joint_error = jnp.sum(
+            30.0 * weight * (ref_pos[motor_idx] - qpos[motor_idx]) ** 2)
+        com_error = jnp.sum((ref_pos[0:3] - qpos[0:3]) ** 2)
+        orient_error = jnp.sum((ref_pos[4:7] - qpos[4:7]) ** 2)
+        spring_idx = jnp.asarray([15, 29])
+        spring_error = jnp.sum(
+            1000.0 * (ref_pos[spring_idx] - qpos[spring_idx]) ** 2)
+        return (0.3 * jnp.exp(-joint_error) + 0.2 * jnp.exp(-com_error)
+                + 0.1 * jnp.exp(-orient_error) + 0.1 * jnp.exp(-spring_error)
+                + 0.075 * jnp.exp(-l_orient) + 0.075 * jnp.exp(-r_orient)
+                + 0.1 * jnp.exp(-hiproll_cost)
+                + 0.05 * jnp.exp(-hiproll_act))
+
+    def _jonah_rnn_reward(self, state):
+        """jonah_RNN_reward (rewards/rnn_dyn_random_reward.py:3-50):
+        heavier joint (50x) / com (10x) weights, quaternion inner-product
+        orientation error (5x)."""
+        qpos = state.phys.qpos
+        ref_pos, _ = self.get_ref_state(state, state.phase)
+        weight = jnp.asarray([0.15, 0.15, 0.1, 0.05, 0.05,
+                              0.15, 0.15, 0.1, 0.05, 0.05])
+        motor_idx = jnp.asarray(MOTOR_QPOS_IDX)
+        joint_error = jnp.sum(
+            50.0 * weight * (ref_pos[motor_idx] - qpos[motor_idx]) ** 2)
+        com_error = jnp.sum(10.0 * (ref_pos[0:3] - qpos[0:3]) ** 2)
+        orient_error = 5.0 * (1.0 - jnp.dot(qpos[3:7], ref_pos[3:7]) ** 2)
+        spring_idx = jnp.asarray([15, 29])
+        spring_error = jnp.sum(
+            1000.0 * (ref_pos[spring_idx] - qpos[spring_idx]) ** 2)
+        return (0.200 * jnp.exp(-joint_error) + 0.450 * jnp.exp(-com_error)
+                + 0.300 * jnp.exp(-orient_error)
+                + 0.050 * jnp.exp(-spring_error))
 
     def _aslip_old_reward(self, state, est, action, prev_action,
                           foot_orient_cost):

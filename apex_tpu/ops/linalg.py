@@ -127,9 +127,13 @@ def make_batched_spd_solve():
     @f.def_vmap
     def _rule(axis_size, in_batched, A, b):
         a_b, b_b = in_batched
-        if not (a_b and b_b):
-            # mixed/unbatched: fall back to the unrolled form broadcast
-            return spd_solve(A, b), a_b or b_b
+        if not (a_b or b_b):
+            return spd_solve(A, b), False
+        if not a_b:
+            # mixed: materialize the batch so ranks line up for spd_solve
+            A = jnp.broadcast_to(A, (axis_size,) + A.shape)
+        elif not b_b:
+            b = jnp.broadcast_to(b, (axis_size,) + b.shape)
         if _on_tpu() and A.ndim == 3 and b.ndim == 2:
             from apex_tpu.ops.pallas_linalg import pallas_spd_inverse
 

@@ -23,48 +23,63 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _spd_inverse_kernel(n: int, a_ref, out_ref):
+    """All three sweeps run as fori_loops with masked dynamic slices: a
+    Python-unrolled version keeps O(n) live (Bb, n, n) temporaries on the
+    Mosaic stack and blows the 16 MB scoped-vmem limit (observed 33.6 MB at
+    Bb=32, n=32); the rolled form bounds live vmem to a few buffers."""
     A = a_ref[:]                      # (Bb, n, n)
-    Bb = A.shape[0]
     dtype = A.dtype
 
     col = jax.lax.broadcasted_iota(jnp.int32, (1, n, 1), 1)   # row index i
     row = jax.lax.broadcasted_iota(jnp.int32, (1, 1, n), 2)   # col index k
+    idx = jax.lax.broadcasted_iota(jnp.int32, (1, n), 1)      # (1, n)
+
+    # dynamic row/column extraction as masked reductions (Mosaic has no
+    # dynamic_slice lowering on VMEM values)
+    def _row(M, i):
+        """M[:, i, :] (dynamic i) -> (Bb, n)."""
+        return jnp.sum(M * (col == i).astype(dtype), axis=1)
+
+    def _col(M, j):
+        """M[:, :, j] (dynamic j) -> (Bb, n)."""
+        return jnp.sum(M * (row == j).astype(dtype), axis=2)
 
     # ---- Cholesky: L lower-triangular, built column by column ----
-    L = jnp.zeros_like(A)
-    for j in range(n):
+    def chol_step(j, L):
         # s_i = A[i, j] - sum_k<j L[i, k] L[j, k]   for all i at once
         mask_k = (row < j).astype(dtype)                      # (1, 1, n)
-        Lj = L[:, j:j + 1, :]                                 # (Bb, 1, n)
-        s = A[:, :, j] - jnp.sum(L * Lj * mask_k, axis=2)     # (Bb, n)
-        d = jax.lax.rsqrt(jnp.maximum(s[:, j], 1e-12))        # (Bb,)
-        colj = s * d[:, None]                                 # (Bb, n)
-        # keep only rows i >= j
-        keep = (jax.lax.broadcasted_iota(jnp.int32, (1, n), 1) >= j)
-        colj = jnp.where(keep, colj, 0.0)
-        L = L + colj[:, :, None] * (row == j).astype(dtype)
+        Lj = _row(L, j)[:, None, :]                           # (Bb, 1, n)
+        s = _col(A, j) - jnp.sum(L * Lj * mask_k, axis=2)     # (Bb, n)
+        sj = jnp.sum(s * (idx == j).astype(dtype), axis=1)    # (Bb,)
+        d = jax.lax.rsqrt(jnp.maximum(sj, 1e-12))
+        colj = jnp.where(idx >= j, s * d[:, None], 0.0)       # rows i >= j
+        return L + colj[:, :, None] * (row == j).astype(dtype)
+
+    L = jax.lax.fori_loop(0, n, chol_step, jnp.zeros_like(A))
+
+    diag = jnp.sum(L * (col == row).astype(dtype), axis=2)    # (Bb, n)
 
     # ---- forward solve L Y = I ----
-    Y = jnp.zeros_like(A)
-    eye = (col == row).astype(dtype)                          # (1, n, n)
-    for i in range(n):
-        mask_k = (row < i).astype(dtype)
-        Li = L[:, i:i + 1, :]                                 # (Bb, 1, n)
+    def fwd_step(i, Y):
+        w = jnp.where(idx < i, _row(L, i), 0.0)               # (Bb, n)
         # r_m = I[i, m] - sum_k<i L[i, k] Y[k, m]
-        r = eye[:, i, :] - jnp.sum(Y * (Li * mask_k).transpose(0, 2, 1),
-                                   axis=1)                    # (Bb, n)
-        r = r / L[:, i, i][:, None]
-        Y = Y + r[:, None, :] * (col == i).astype(dtype)
+        r = (idx == i).astype(dtype) - jnp.sum(Y * w[:, :, None], axis=1)
+        dii = jnp.sum(diag * (idx == i).astype(dtype), axis=1)
+        r = r / dii[:, None]
+        return Y + r[:, None, :] * (col == i).astype(dtype)
 
-    # ---- backward solve L^T X = Y ----
-    X = jnp.zeros_like(A)
-    for i in range(n - 1, -1, -1):
-        mask_k = (row > i).astype(dtype)                      # k > i
-        Lci = L[:, :, i:i + 1]                                # (Bb, n, 1) col i
-        r = Y[:, i, :] - jnp.sum(X * (Lci[:, :, 0] *
-                                      mask_k[0, 0, :])[:, :, None], axis=1)
-        r = r / L[:, i, i][:, None]
-        X = X + r[:, None, :] * (col == i).astype(dtype)
+    Y = jax.lax.fori_loop(0, n, fwd_step, jnp.zeros_like(A))
+
+    # ---- backward solve L^T X = Y (iterate i = n-1 .. 0) ----
+    def bwd_step(t, X):
+        i = n - 1 - t
+        w = jnp.where(idx > i, _col(L, i), 0.0)               # (Bb, n)
+        r = _row(Y, i) - jnp.sum(X * w[:, :, None], axis=1)
+        dii = jnp.sum(diag * (idx == i).astype(dtype), axis=1)
+        r = r / dii[:, None]
+        return X + r[:, None, :] * (col == i).astype(dtype)
+
+    X = jax.lax.fori_loop(0, n, bwd_step, jnp.zeros_like(A))
 
     out_ref[:] = X
 

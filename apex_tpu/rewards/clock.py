@@ -157,6 +157,10 @@ class RewardInputs(NamedTuple):
     prev_action: jnp.ndarray     # (10,)
     speed: jnp.ndarray
     phase: jnp.ndarray
+    # estimator (pelvis-frame) foot orientations, used by aslip_clock_reward
+    # (clock_rewards.py:358-363); identity default for envs that skip them
+    est_lfoot_orient: jnp.ndarray = np.array([1.0, 0.0, 0.0, 0.0])
+    est_rfoot_orient: jnp.ndarray = np.array([1.0, 0.0, 0.0, 0.0])
 
 
 def clock_reward(clock: GaitClock, ri: RewardInputs):
@@ -308,9 +312,44 @@ def max_vel_clock_reward(clock: GaitClock, ri: RewardInputs):
             + 0.3 * com_vel_bonus)
 
 
+def aslip_clock_reward(clock: GaitClock, ri: RewardInputs):
+    """Reference aslip_clock_reward (clock_rewards.py:325-433): tanh scores
+    with 400 N force normalization, 10x com-orient, foot-orient error from
+    the ESTIMATOR foot quaternions vs identity (not the neutral world
+    orient), height target 1.0 m with a 0.2 m deadzone."""
+    des_frc, des_vel = 400.0, 3.0
+    n_l_frc = jnp.minimum(ri.l_foot_frc, des_frc) / des_frc
+    n_r_frc = jnp.minimum(ri.r_foot_frc, des_frc) / des_frc
+    n_l_vel = jnp.minimum(jnp.linalg.norm(ri.l_foot_vel), des_vel) / des_vel
+    n_r_vel = jnp.minimum(jnp.linalg.norm(ri.r_foot_vel), des_vel) / des_vel
+
+    com_orient_error = 10.0 * (1.0 - ri.qpos[3] ** 2)
+    foot_orient_error = 10.0 * ((1.0 - ri.est_lfoot_orient[0] ** 2)
+                                + (1.0 - ri.est_rfoot_orient[0] ** 2))
+    com_vel_error = jnp.abs(ri.qvel[0] - ri.speed)
+
+    straight_diff = jnp.abs(ri.qpos[1])
+    straight_diff = jnp.where(straight_diff < 0.05, 0.0, straight_diff)
+    height_diff = jnp.abs(ri.qpos[2] - 1.0)
+    height_diff = jnp.where(height_diff < 0.2, 0.0, height_diff)
+    straight_diff = straight_diff + height_diff
+
+    l_frc_c, l_vel_c, r_frc_c, r_vel_c = clock.eval(ri.phase)
+    frc_score = jnp.tanh(l_frc_c * n_l_frc) + jnp.tanh(r_frc_c * n_r_frc)
+    vel_score = jnp.tanh(l_vel_c * n_l_vel) + jnp.tanh(r_vel_c * n_r_vel)
+
+    return (0.1 * jnp.exp(-com_orient_error)
+            + 0.1 * jnp.exp(-foot_orient_error)
+            + 0.2 * jnp.exp(-com_vel_error)
+            + 0.1 * jnp.exp(-straight_diff)
+            + 0.25 * frc_score
+            + 0.25 * vel_score)
+
+
 REWARD_FUNCS = {
     "clock": clock_reward,
     "early_clock": early_clock_reward,
     "no_speed_clock": no_speed_clock_reward,
     "max_vel_clock": max_vel_clock_reward,
+    "aslip_clock": aslip_clock_reward,
 }
