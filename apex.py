@@ -165,8 +165,57 @@ def main():
                             help="npz path for a qpos gait recording "
                                  "(render with tools/render_gait.py)")
         parser.add_argument("--speed", type=float, default=1.0)
+        # behavioral eval suites (reference test_policy.py:49-121 dispatch)
+        parser.add_argument("--suite", type=str, default=None,
+                            choices=["commands", "perturb", "mission",
+                                     "sensitivity", "5k", "compare"])
+        parser.add_argument("--pdf", type=str, default=None,
+                            help="write the suite report to this PDF")
+        parser.add_argument("--compare_to", type=str, default=None,
+                            help="second run dir for --suite compare")
+        parser.add_argument("--mission", type=str, default="default")
         args = parser.parse_args()
         from apex_tpu.runtime.evaluate import dump_gait, eval_checkpoint
+
+        if args.suite:
+            from apex_tpu.runtime import eval_suites, report
+            from apex_tpu.runtime.evaluate import load_experiment
+
+            if args.suite == "compare":
+                res = eval_suites.compare_policies(
+                    args.path, args.compare_to,
+                    n_episodes=args.n_episodes, traj_len=args.traj_len)
+                if args.pdf:
+                    print("report:", report.report_compare(res, args.pdf))
+                return
+            ppo, state, _ = load_experiment(args.path)
+            env = ppo.env
+
+            def policy_fn(obs):
+                return state.actor.act(state.norm, obs, deterministic=True)
+
+            if args.suite == "perturb":
+                res = eval_suites.eval_perturbation(env, policy_fn)
+                print("max force per angle:", res["max_force_per_angle"])
+                if args.pdf:
+                    print("report:",
+                          report.report_perturbation(res, args.pdf))
+            elif args.suite == "commands":
+                res = eval_suites.eval_commands(env, policy_fn)
+                print(res)
+            elif args.suite == "mission":
+                res = eval_suites.eval_mission(policy_fn,
+                                               mission=args.mission)
+                print(res)
+            elif args.suite == "sensitivity":
+                res = eval_suites.eval_sensitivity(env, policy_fn)
+                print(res)
+            elif args.suite == "5k":
+                res = eval_suites.eval_5k_matrix(env, policy_fn)
+                print("5k pass rate:", res["pass_rate"])
+                if args.pdf:
+                    print("report:", report.report_5k(res, args.pdf))
+            return
 
         eval_checkpoint(args.path, n_episodes=args.n_episodes,
                         traj_len=args.traj_len, out=args.out)

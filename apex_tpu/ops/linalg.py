@@ -102,10 +102,11 @@ def make_batched_spd_inverse():
         if not a_batched:
             return spd_inverse(A), False
         if _on_tpu() and A.ndim == 3:
-            from apex_tpu.ops.pallas_linalg import pallas_spd_inverse
+            from apex_tpu.ops.pallas_linalg import (
+                default_block, pallas_spd_inverse)
 
-            block = 128 if A.shape[0] % 128 == 0 or A.shape[0] > 128 else A.shape[0]
-            return pallas_spd_inverse(A, block_b=min(block, 128)), True
+            block = default_block(A.shape[-1], A.shape[0])
+            return pallas_spd_inverse(A, block_b=block), True
         return spd_inverse(A), True
 
     return f
@@ -135,9 +136,11 @@ def make_batched_spd_solve():
         elif not b_b:
             b = jnp.broadcast_to(b, (axis_size,) + b.shape)
         if _on_tpu() and A.ndim == 3 and b.ndim == 2:
-            from apex_tpu.ops.pallas_linalg import pallas_spd_inverse
+            from apex_tpu.ops.pallas_linalg import (
+                default_block, pallas_spd_inverse)
 
-            Ai = pallas_spd_inverse(A, block_b=min(A.shape[0], 128))
+            Ai = pallas_spd_inverse(
+                A, block_b=default_block(A.shape[-1], A.shape[0]))
             return jnp.einsum("bij,bj->bi", Ai, b), True
         return spd_solve(A, b), True
 

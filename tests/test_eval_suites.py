@@ -49,3 +49,31 @@ def test_5k_matrix_runs(env_and_policy):
                          foot_mass_scales=(1.0,), slopes=(0.0,),
                          episode_steps=3)
     assert out["passed"].shape == (1, 1, 1, 1)
+
+
+def test_pdf_reports(tmp_path):
+    """report.py renders the 5k / perturbation / compare PDFs
+    (reference 5k_test.py:230-285, eval_perturb.py:214-255,
+    compare_pols.py:93-182 artifacts)."""
+    import numpy as np
+
+    from apex_tpu.runtime.report import (
+        report_5k,
+        report_compare,
+        report_perturbation,
+    )
+
+    rng = np.random.RandomState(0)
+    r5 = {"grid": dict(speeds=(0.5, 1.4), frictions=(0.5, 1.1),
+                       foot_mass_scales=(1.0,), slopes=(0.0,)),
+          "passed": rng.rand(2, 2, 1, 1) > 0.3, "pass_rate": 0.75}
+    p1 = report_5k(r5, str(tmp_path / "r5.pdf"))
+    rp = {"angles": np.linspace(0, 2 * np.pi, 4, endpoint=False),
+          "forces": np.arange(25, 101, 25),
+          "survival": rng.rand(4, 4, 2) > 0.4}
+    p2 = report_perturbation(rp, str(tmp_path / "rp.pdf"))
+    p3 = report_compare({"a": (120.0, 290.0), "b": (95.0, 250.0)},
+                        str(tmp_path / "rc.pdf"))
+    import os
+    for p in (p1, p2, p3):
+        assert os.path.getsize(p) > 1000
