@@ -371,7 +371,7 @@ def forward_kinematics(model: PhysModel, params: PhysParams,
     xpos_a = jnp.stack(xpos)
     ximat = jnp.stack(xmat)
     xquat_a = mat2quat(ximat)
-    xipos = xpos_a + jnp.einsum("bij,bj->bi", ximat, params.body_ipos)
+    xipos = xpos_a + jnp.sum(ximat * params.body_ipos[..., None, :], axis=-1)
     return Kinematics(xpos=xpos_a, xquat=xquat_a, ximat=ximat, xipos=xipos,
                       cdof=jnp.stack(cdof_rows), origin=origin)
 
@@ -442,24 +442,37 @@ def compute_dynamics(model: PhysModel, params: PhysParams, qpos: jnp.ndarray,
     cdof_dot = _cross_motion_batch(v_pre, kin.cdof)
 
     # --- spatial inertias about origin (batched) ---
-    I_world = jnp.einsum("bij,bjk,blk->bil", kin.ximat,
-                         jnp.asarray(model.body_inertia), kin.ximat)
+    # R I0 R^T expanded as broadcast-multiply-reduce: under vmap the einsum
+    # forms lower to (B*nb)-batched 3x3 MXU matmuls at <1% utilization and
+    # dominated the whole substep (~1.4 ms of 2.4 ms at B=1024); the
+    # elementwise forms ride the VPU across the fleet.
+    I0 = jnp.asarray(model.body_inertia)         # (nb, 3, 3)
+    R = kin.ximat
+    T = jnp.sum(R[..., :, :, None] * I0[..., None, :, :], axis=-2)
+    I_world = jnp.sum(T[..., :, None, :] * R[..., None, :, :], axis=-1)
+    # skew(c)^2 = c c^T - |c|^2 I (closed form, no batched matmul)
+    c = kin.xipos                                # (nb, 3)
+    ccT = c[..., :, None] * c[..., None, :]
+    cc = jnp.sum(c * c, axis=-1)
+    eye3 = jnp.eye(3)
+    CC = ccT - cc[..., None, None] * eye3
     C = jax.vmap(_skew)(kin.xipos)               # (nb, 3, 3)
     mass = params.body_mass
-    upper_left = I_world - mass[:, None, None] * (C @ C)
+    upper_left = I_world - mass[:, None, None] * CC
     mC = mass[:, None, None] * C
-    eye3 = jnp.broadcast_to(jnp.eye(3), (nb, 3, 3))
     inertias = jnp.concatenate([
         jnp.concatenate([upper_left, mC], axis=2),
-        jnp.concatenate([-mC, mass[:, None, None] * eye3], axis=2),
+        jnp.concatenate([-mC, mass[:, None, None]
+                         * jnp.broadcast_to(eye3, (nb, 3, 3))], axis=2),
     ], axis=1)                                   # (nb, 6, 6)
 
     # --- RNEA bias with qacc=0, gravity as base acceleration ---
     grav = jnp.asarray(model.gravity)
     a0 = jnp.concatenate([jnp.zeros(3), -grav])
     body_acc = a0[None, :] + A @ (cdof_dot * qvel[:, None])   # (nb, 6)
-    Iv = jnp.einsum("bij,bj->bi", inertias, body_vel)
-    body_frc = jnp.einsum("bij,bj->bi", inertias, body_acc) + \
+    # 6x6 matvecs as explicit mul-reduce (same MXU-underutilization issue)
+    Iv = jnp.sum(inertias * body_vel[..., None, :], axis=-1)
+    body_frc = jnp.sum(inertias * body_acc[..., None, :], axis=-1) + \
         _cross_force_batch(body_vel, Iv)         # (nb, 6)
 
     # subtree wrench accumulation: dof d sees bodies whose ancestry contains
@@ -469,8 +482,9 @@ def compute_dynamics(model: PhysModel, params: PhysParams, qpos: jnp.ndarray,
 
     # --- CRBA: composite inertia per dof via the same transpose trick ---
     Ic_dof = jnp.einsum("bv,bij->vij", A, inertias)           # (nv, 6, 6)
-    H = jnp.einsum("vij,vj->vi", Ic_dof, kin.cdof)            # (nv, 6)
-    M_full = H @ kin.cdof.T
+    H = jnp.sum(Ic_dof * kin.cdof[:, None, :], axis=-1)       # (nv, 6)
+    # (nv,6)@(6,nv): mul-reduce beats a (B)-batched skinny MXU matmul
+    M_full = jnp.sum(H[:, None, :] * kin.cdof[None, :, :], axis=-1)
     Ml = M_full * jnp.asarray(st.crba_mask)
     M = Ml + Ml.T - jnp.diag(jnp.diag(Ml))
     M = M + jnp.diag(jnp.asarray(model.dof_armature))
