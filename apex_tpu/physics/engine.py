@@ -549,15 +549,20 @@ def constraint_forces(model: PhysModel, params: PhysParams, dyn: Dynamics,
         radius = jnp.asarray(st.con_radius)
         # plane terrain (possibly tilted by slope randomization)
         depth_plane = radius - (p - floor_p) @ n_w                    # (nc,)
-        # heightfield terrain (replaces the plane when active)
         p_world = p + kin.origin
-        h, dhdx, dhdy = hfield_lookup(params, p_world[:, 0:2])
-        n_h = jnp.stack([-dhdx, -dhdy, jnp.ones_like(h)], axis=-1)
-        n_h = n_h / jnp.linalg.norm(n_h, axis=-1, keepdims=True)
-        depth_h = radius + (params.floor_pos[2] + h) - p_world[:, 2]
-        active = params.hfield_active > 0.5
-        depth = jnp.where(active, depth_h, depth_plane)
-        n_c = jnp.where(active, n_h, jnp.broadcast_to(n_w, n_h.shape))
+        if model.enable_hfield:
+            # heightfield terrain (replaces the plane when active)
+            h, dhdx, dhdy = hfield_lookup(params, p_world[:, 0:2])
+            n_h = jnp.stack([-dhdx, -dhdy, jnp.ones_like(h)], axis=-1)
+            n_h = n_h / jnp.linalg.norm(n_h, axis=-1, keepdims=True)
+            depth_h = radius + (params.floor_pos[2] + h) - p_world[:, 2]
+            active = params.hfield_active > 0.5
+            depth = jnp.where(active, depth_h, depth_plane)
+            n_c = jnp.where(active, n_h,
+                            jnp.broadcast_to(n_w, n_h.shape))
+        else:
+            depth = depth_plane
+            n_c = jnp.broadcast_to(n_w, (st.ncon, 3))
 
         bv = dyn.body_vel[cb]                                         # (nc,6)
         v_p = bv[:, 3:] + jnp.cross(bv[:, :3], p)                     # (nc,3)

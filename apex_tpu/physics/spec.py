@@ -118,6 +118,13 @@ class PhysModel:
     floor_quat: np.ndarray = dataclasses.field(
         default_factory=lambda: np.array([1.0, 0.0, 0.0, 0.0]))
     timestep: float = 0.0005
+    # STATIC heightfield-terrain switch: when False the contact pass skips
+    # the hfield table lookups entirely (4 gathers per contact per substep,
+    # measured ~0.6 ms per substep at fleet 1024 -- a pure waste on flat
+    # ground). Terrain runs use dataclasses.replace(model,
+    # enable_hfield=True); the runtime hfield_active toggle in PhysParams
+    # then selects hfield vs plane per env.
+    enable_hfield: bool = False
     # constraint softness, MuJoCo solref = (timeconst, dampratio)
     # (cassie.xml:18-19: geoms and equalities both 0.005 1)
     solref_timeconst: float = 0.005

@@ -259,7 +259,10 @@ def test_hfield_contact_rest_height():
     """Ball rests on a raised heightfield at terrain height + radius."""
     from apex_tpu.physics.engine import HFIELD_RES
 
-    model = parse_mjcf_string(BALL_DROP_XML)
+    import dataclasses
+
+    model = dataclasses.replace(parse_mjcf_string(BALL_DROP_XML),
+                                enable_hfield=True)
     params = PhysParams.from_model(model)
     params = params.replace(
         hfield=jnp.full((HFIELD_RES, HFIELD_RES), 0.3),
