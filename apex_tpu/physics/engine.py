@@ -720,8 +720,7 @@ def step(model: PhysModel, params: PhysParams, qpos: jnp.ndarray,
     # implicit damping (MuJoCo Euler): solve (M + hD) dv = h (qfrc - D qvel)
     h = model.timestep
     D = params.dof_damping
-    A = dyn.M + h * jnp.diag(D)
-    Ainv = dyn.Minv   # computed as (M + hD)^-1 in compute_dynamics
+    Ainv = dyn.Minv   # (M + hD)^-1, computed in compute_dynamics
     qacc_free = Ainv @ (qfrc - D * qvel)
     v_pred = qvel + h * qacc_free
 
