@@ -149,8 +149,6 @@ class _Structure:
     XLA graph small: thousands of dynamic-update-slices collapse into a few
     einsums)."""
 
-    _cache: Dict[int, "_Structure"] = {}
-
     def __init__(self, model: PhysModel):
         nb, nv = model.nbody, model.nv
         dof_body = np.zeros(nv, dtype=np.int32)
@@ -262,10 +260,15 @@ class _Structure:
 
     @classmethod
     def of(cls, model: PhysModel) -> "_Structure":
-        key = id(model)
-        if key not in cls._cache:
-            cls._cache[key] = cls(model)
-        return cls._cache[key]
+        # Cached on the model instance itself (object.__setattr__ bypasses
+        # the frozen-dataclass guard): an id()-keyed module dict let a new
+        # model silently reuse a GC'd model's structure when CPython
+        # recycled the address.
+        st = model.__dict__.get("_structure")
+        if st is None:
+            st = cls(model)
+            object.__setattr__(model, "_structure", st)
+        return st
 
 
 # ---------------------------------------------------------------------------

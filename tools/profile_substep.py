@@ -4,8 +4,11 @@ constraint forces, and the full step to show where the 2 kHz budget goes.
 
 Usage: python tools/profile_substep.py [batch]
 """
+import pathlib
 import sys
 import time
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 
 import jax
 import jax.numpy as jnp
