@@ -251,7 +251,11 @@ def test_cassie_standing_mechanism():
     assert abs(float(s.qpos[17])) < 0.1, "heel spring unphysical"
     total_grf = frc[-200:].sum(axis=1).mean()
     weight = float(np.sum(np.asarray(m.body_mass))) * 9.81
-    assert 0.5 * weight < total_grf < 1.5 * weight, (
+    # The window is a decelerating squat, not static equilibrium, so GRF
+    # is below mg here (0.68 measured; MuJoCo agrees -- the true oracle
+    # bound lives in test_golden_mujoco.test_cassie_grf_trace_matches_mujoco
+    # at 5%). This band guards against constraint-collapse regressions.
+    assert 0.55 * weight < total_grf < 0.85 * weight, (
         f"GRF {total_grf} vs weight {weight}")
 
 
