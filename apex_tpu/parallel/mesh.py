@@ -32,17 +32,27 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def shard_ppo_state(mesh: Mesh, state, axis: str = "env"):
-    """Place a PPOTrainState: runner leaves sharded over the env axis,
-    everything else replicated."""
+def shard_runner(mesh: Mesh, runner, axis: str = "env"):
+    """Place a RunnerState: per-env leaves (leading dim == fleet size)
+    sharded over the env axis, everything else (rng key, scalars)
+    replicated."""
     env_sh = env_sharding(mesh, axis)
     rep = replicated(mesh)
+    num_envs = runner.obs.shape[0]
 
-    runner = jax.tree_util.tree_map(
-        lambda x: jax.device_put(x, env_sh) if getattr(x, "ndim", 0) >= 1
-        else jax.device_put(x, rep),
-        state.runner)
+    def place(x):
+        if getattr(x, "ndim", 0) >= 1 and x.shape[0] == num_envs:
+            return jax.device_put(x, env_sh)
+        return jax.device_put(x, rep)
+
+    return jax.tree_util.tree_map(place, runner)
+
+
+def shard_ppo_state(mesh: Mesh, state, axis: str = "env"):
+    """Place a PPOTrainState: runner leaves sharded over the env axis,
+    everything else (params, opt state, normalizer, rng) replicated."""
+    rep = replicated(mesh)
+    runner = shard_runner(mesh, state.runner, axis)
     rest = jax.tree_util.tree_map(lambda x: jax.device_put(x, rep),
                                   state.replace(runner=state.runner))
-    return rest.replace(runner=runner.replace(rng=jax.device_put(
-        state.runner.rng, rep)))
+    return rest.replace(runner=runner)
