@@ -16,14 +16,20 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 
-def cholesky_unrolled(A: jnp.ndarray) -> jnp.ndarray:
-    """Lower-triangular L with A = L L^T. A: (..., n, n), n static."""
+def cholesky_unrolled(A: jnp.ndarray, pivot_floor: float = 1e-12
+                      ) -> jnp.ndarray:
+    """Lower-triangular L with A = L L^T. A: (..., n, n), n static.
+
+    pivot_floor clamps the squared pivot. For Jacobi-normalized systems
+    (unit diagonal) pass ~1e-4: a smaller pivot means a numerically
+    singular direction, and letting it through cascades 1/d factors that
+    overflow f32 (observed as Inf constraint impulses)."""
     n = A.shape[-1]
     L = jnp.zeros_like(A)
     for j in range(n):
         # d_j = sqrt(A_jj - sum_k L_jk^2)
         s = A[..., j, j] - jnp.sum(L[..., j, :j] * L[..., j, :j], axis=-1)
-        d = jnp.sqrt(jnp.maximum(s, 1e-12))
+        d = jnp.sqrt(jnp.maximum(s, pivot_floor))
         L = L.at[..., j, j].set(d)
         if j + 1 < n:
             # column below the diagonal, one vectorized update
@@ -62,9 +68,10 @@ def tri_solve_upper_t(L: jnp.ndarray, B: jnp.ndarray) -> jnp.ndarray:
     return X[..., 0] if vec else X
 
 
-def spd_solve(A: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+def spd_solve(A: jnp.ndarray, b: jnp.ndarray,
+              pivot_floor: float = 1e-12) -> jnp.ndarray:
     """x = A^-1 b for SPD A via unrolled Cholesky."""
-    L = cholesky_unrolled(A)
+    L = cholesky_unrolled(A, pivot_floor=pivot_floor)
     return tri_solve_upper_t(L, tri_solve_lower(L, b))
 
 

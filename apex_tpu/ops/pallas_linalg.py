@@ -84,18 +84,22 @@ def default_block(n: int, batch: int) -> int:
 
 
 @functools.partial(jax.jit, static_argnames=("block_b", "interpret"))
-def pallas_spd_inverse(A: jnp.ndarray, block_b: int = 128,
-                       interpret: bool = False) -> jnp.ndarray:
-    """A (B, N, N) SPD -> A^-1, one pallas program per block of B."""
-    B, n, _ = A.shape
+def pallas_spd_inverse_bt(At: jnp.ndarray, block_b: int = 128,
+                          interpret: bool = False) -> jnp.ndarray:
+    """Batch-LAST entry: At (n, n, B) with At[j, i, b] = A[b, i, j]
+    (symmetric input, so At can simply be the (n, n, B) fleet mass matrix).
+    Returns Ainv_bt (n, n, B) with Ainv_bt[i, m, b] = A[b]^-1[i, m] -- the
+    kernel's native layout, zero transposes (used by physics/fleet.py)."""
+    n, _, B = At.shape
     pad = (-B) % block_b
     if pad:
-        eye = jnp.broadcast_to(jnp.eye(n, dtype=A.dtype), (pad, n, n))
-        A = jnp.concatenate([A, eye], axis=0)
-    Bp = A.shape[0]
+        eye = jnp.broadcast_to(jnp.eye(n, dtype=At.dtype)[:, :, None],
+                               (n, n, pad))
+        At = jnp.concatenate([At, eye], axis=-1)
+    Bp = At.shape[-1]
 
     # The TPU toolchain stages each custom call's full operands + result in
-    # scoped vmem (16 MB): at n=32/f32 that caps one call at ~1024 rows
+    # scoped vmem (16 MB): at n=32/f32 that caps one call at ~1024 matrices
     # in + out (observed OOM at 2048, pass at 1024). Chunk oversized batches
     # through lax.map of <=8 MB calls.
     max_chunk = max(block_b, (8 * 2 ** 20) // (2 * 4 * n * n) // block_b
@@ -103,34 +107,44 @@ def pallas_spd_inverse(A: jnp.ndarray, block_b: int = 128,
     if Bp > max_chunk:
         pad2 = (-Bp) % max_chunk
         if pad2:
-            eye = jnp.broadcast_to(jnp.eye(n, dtype=A.dtype), (pad2, n, n))
-            A = jnp.concatenate([A, eye], axis=0)
-        chunks = A.reshape(A.shape[0] // max_chunk, max_chunk, n, n)
+            eye = jnp.broadcast_to(jnp.eye(n, dtype=At.dtype)[:, :, None],
+                                   (n, n, pad2))
+            At = jnp.concatenate([At, eye], axis=-1)
+        chunks = jnp.moveaxis(
+            At.reshape(n, n, At.shape[-1] // max_chunk, max_chunk), 2, 0)
         out = jax.lax.map(
-            lambda c: pallas_spd_inverse(c, block_b, interpret), chunks)
-        return out.reshape(-1, n, n)[:B]
-
-    # batch-last layout: at[j, i, b] = A[b, i, j]
-    At = jnp.transpose(A, (2, 1, 0))
+            lambda c: pallas_spd_inverse_bt(c, block_b, interpret), chunks)
+        return jnp.moveaxis(out, 0, 2).reshape(n, n, -1)[:, :, :B]
 
     # NB: no memory_space on the top-level specs — annotating VMEM pins the
     # WHOLE operand/result in scoped vmem; default placement keeps them in
     # HBM with per-grid-step block DMA.
     out_t = pl.pallas_call(
         functools.partial(_spd_inverse_kernel, n),
-        out_shape=jax.ShapeDtypeStruct((n, n, Bp), A.dtype),
+        out_shape=jax.ShapeDtypeStruct((n, n, Bp), At.dtype),
         grid=(Bp // block_b,),
         in_specs=[pl.BlockSpec((n, n, block_b), lambda i: (0, 0, i))],
         out_specs=pl.BlockSpec((n, n, block_b), lambda i: (0, 0, i)),
         scratch_shapes=[
-            pltpu.VMEM((n, n, block_b), A.dtype),   # S (Schur complement)
-            pltpu.VMEM((n, n, block_b), A.dtype),   # L columns
-            pltpu.VMEM((n, n, block_b), A.dtype),   # Y rows / residual R
-            pltpu.VMEM((n, block_b), A.dtype),      # 1/diag(L)
+            pltpu.VMEM((n, n, block_b), At.dtype),   # S (Schur complement)
+            pltpu.VMEM((n, n, block_b), At.dtype),   # L columns
+            pltpu.VMEM((n, n, block_b), At.dtype),   # Y rows / residual R
+            pltpu.VMEM((n, block_b), At.dtype),      # 1/diag(L)
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel",)),
         interpret=interpret,
     )(At)
+    return out_t[:, :, :B]
+
+
+@functools.partial(jax.jit, static_argnames=("block_b", "interpret"))
+def pallas_spd_inverse(A: jnp.ndarray, block_b: int = 128,
+                       interpret: bool = False) -> jnp.ndarray:
+    """A (B, N, N) SPD -> A^-1, one pallas program per block of B."""
+    B, n, _ = A.shape
+    # batch-last layout: at[j, i, b] = A[b, i, j]
+    At = jnp.transpose(A, (2, 1, 0))
+    out_t = pallas_spd_inverse_bt(At, block_b=block_b, interpret=interpret)
     # out_t[i, m, b] -> (b, i, m)
-    return jnp.transpose(out_t, (2, 0, 1))[:B]
+    return jnp.transpose(out_t, (2, 0, 1))

@@ -705,6 +705,52 @@ def step(model: PhysModel, params: PhysParams, qpos: jnp.ndarray,
          qvel: jnp.ndarray, ctrl: jnp.ndarray) -> StepOut:
     """One physics substep (dt = model.timestep, 0.0005s for cassie).
 
+    Public entry: unbatched calls run the per-env pipeline below; under
+    `vmap` a custom batching rule reroutes the WHOLE fleet through the
+    batch-last implementation in physics/fleet.py (same math, fleet-friendly
+    layout -- see that module's docstring). Disable with APEX_TPU_NO_FLEET=1.
+    """
+    import os
+
+    if os.environ.get("APEX_TPU_NO_FLEET", "") in ("", "0"):
+        return _step_dispatch(model)(params, qpos, qvel, ctrl)
+    return _step_single(model, params, qpos, qvel, ctrl)
+
+
+def _step_dispatch(model: PhysModel):
+    """Per-model custom_vmap wrapper (cached on the model instance, like
+    _Structure): primal = per-env step, vmap rule = batch-last fleet step."""
+    f = model.__dict__.get("_step_cv")
+    if f is not None:
+        return f
+
+    @jax.custom_batching.custom_vmap
+    def f(params, qpos, qvel, ctrl):
+        return _step_single(model, params, qpos, qvel, ctrl)
+
+    @f.def_vmap
+    def _rule(axis_size, in_batched, params, qpos, qvel, ctrl):
+        from apex_tpu.physics import fleet
+
+        def bcast(x, b):
+            return x if b else jnp.broadcast_to(
+                jnp.asarray(x), (axis_size,) + jnp.shape(x))
+
+        params = jax.tree_util.tree_map(bcast, params, in_batched[0])
+        qpos = bcast(qpos, in_batched[1])
+        qvel = bcast(qvel, in_batched[2])
+        ctrl = bcast(ctrl, in_batched[3])
+        out = fleet.fleet_step_batch_first(model, params, qpos, qvel, ctrl)
+        return out, jax.tree_util.tree_map(lambda _: True, out)
+
+    object.__setattr__(model, "_step_cv", f)
+    return f
+
+
+def _step_single(model: PhysModel, params: PhysParams, qpos: jnp.ndarray,
+                 qvel: jnp.ndarray, ctrl: jnp.ndarray) -> StepOut:
+    """One per-env physics substep (the reference pipeline).
+
     Pipeline: smooth forces (actuation, springs, bias) and penalty contacts /
     joint limits at the acceleration level; loop-closure connects as
     velocity-level impulses with Baumgarte position stabilization
@@ -736,7 +782,13 @@ def step(model: PhysModel, params: PhysParams, qpos: jnp.ndarray,
         d = jax.lax.rsqrt(jnp.diag(G) + 1e-12)
         Gs = d[:, None] * G * d[None, :] + 1e-6 * jnp.eye(G.shape[0])
         rhs = -(J_eq @ v_pred + (BAUMGARTE_BETA / h) * err)
-        lam = d * batched_spd_solve(Gs, d * rhs)
+        # pivot_floor 1e-4: Gs is Jacobi-normalized (unit diagonal), so a
+        # smaller Cholesky pivot is a numerically singular direction;
+        # without the floor the cascaded 1/pivot factors overflow f32 for
+        # flailing states (Inf impulses -> NaN qvel)
+        from apex_tpu.ops.linalg import spd_solve
+
+        lam = d * spd_solve(Gs, d * rhs, pivot_floor=1e-4)
         new_qvel = v_pred + Ainv @ (J_eq.T @ lam)
     else:
         new_qvel = v_pred
