@@ -211,8 +211,12 @@ def main():
                 res = eval_suites.eval_sensitivity(env, policy_fn)
                 print(res)
             elif args.suite == "5k":
-                res = eval_suites.eval_5k_matrix(env, policy_fn)
+                res = eval_suites.eval_5k_matrix(policy_fn)
                 print("5k pass rate:", res["pass_rate"])
+                for ax in ("by_mission", "by_speed", "by_terrain",
+                           "by_friction", "by_foot_mass"):
+                    print(f"  {ax}:", {k: round(float(v), 3)
+                                       for k, v in res[ax].items()})
                 if args.pdf:
                     print("report:", report.report_5k(res, args.pdf))
             return

@@ -21,7 +21,7 @@ import numpy as np
 from flax import struct
 
 from apex_tpu.envs.base import Env
-from apex_tpu.models import LinearActor, NormState
+from apex_tpu.models import GaussianLSTMActor, LinearActor, NormState
 
 
 @dataclasses.dataclass(frozen=True)
@@ -34,6 +34,11 @@ class ARSConfig:
     max_traj_len: int = 400
     hidden_size: int = 32
     algo: str = "v1"                  # v2 adds observation normalization
+    # LSTM policy option (reference ars.py:168-181 builds an LSTM_Actor
+    # when --recurrent; params zero-initialized per the ARS paper either
+    # way). Hidden state is reset at episode start and carried through
+    # the rollout scan.
+    recurrent: bool = False
 
 
 @struct.dataclass
@@ -51,8 +56,15 @@ class ARS:
 
     def __post_init__(self):
         cfg = self.config
-        template = LinearActor.init(self.env.observation_size,
-                                    self.env.action_size, cfg.hidden_size)
+        if cfg.recurrent:
+            self._lstm_layers = (cfg.hidden_size, cfg.hidden_size)
+            template = GaussianLSTMActor.init(
+                jax.random.PRNGKey(0), self.env.observation_size,
+                self.env.action_size, layers=self._lstm_layers,
+                fixed_std=1.0)
+        else:
+            template = LinearActor.init(self.env.observation_size,
+                                        self.env.action_size, cfg.hidden_size)
         flat, self._unravel = jax.flatten_util.ravel_pytree(template.params)
         self._dim = flat.shape[0]
         self._step = jax.jit(self._iteration, donate_argnums=(0,))
@@ -73,23 +85,37 @@ class ARS:
         keys = jax.random.split(rng, n)
 
         def single(theta, key):
-            actor = LinearActor(params=self._unravel(theta))
             state, obs = self.env.reset(key)
+            if cfg.recurrent:
+                actor = GaussianLSTMActor(params=self._unravel(theta),
+                                          fixed_std=1.0,
+                                          layers=self._lstm_layers)
+                hidden0 = actor.zero_carry(())
+
+                def policy(hidden, ob):
+                    hidden, (mean, _std) = actor.step_dist(norm, hidden, ob)
+                    return hidden, mean
+            else:
+                actor = LinearActor(params=self._unravel(theta))
+                hidden0 = ()
+
+                def policy(hidden, ob):
+                    return hidden, actor.act(norm, ob)
 
             def step(carry, k):
-                st, ob, ret, steps, alive = carry
-                action = actor.act(norm, ob)
+                st, ob, hidden, ret, steps, alive = carry
+                hidden, action = policy(hidden, ob)
                 st2, ob2, r, term, _ = self.env.step(st, action, k)
                 ret = ret + r * alive
                 steps = steps + alive.astype(jnp.int32)
                 alive = alive * (1.0 - term.astype(jnp.float32))
-                return (st2, ob2, ret, steps, alive), ob
+                return (st2, ob2, hidden, ret, steps, alive), ob
 
             keys2 = jax.random.split(jax.random.fold_in(key, 1),
                                      cfg.max_traj_len)
-            (_, _, ret, steps, _), obs_seq = jax.lax.scan(
-                step, (state, obs, jnp.zeros(()), jnp.zeros((), jnp.int32),
-                       jnp.ones(())), keys2)
+            (_, _, _, ret, steps, _), obs_seq = jax.lax.scan(
+                step, (state, obs, hidden0, jnp.zeros(()),
+                       jnp.zeros((), jnp.int32), jnp.ones(())), keys2)
             return ret, steps, obs_seq
 
         return jax.vmap(single)(thetas, keys)
@@ -163,7 +189,8 @@ def run_experiment(args):
     cfg = ARSConfig(
         deltas=args.deltas, deltas_used=args.deltas_used, step_size=args.lr,
         delta_std=args.std, max_traj_len=args.max_traj_len,
-        hidden_size=args.hidden_size, algo=args.algo)
+        hidden_size=args.hidden_size, algo=args.algo,
+        recurrent=getattr(args, "recurrent", False))
     ars = ARS(env, cfg)
     state = ars.init(seed=args.seed)
     logger = create_logger(args)

@@ -37,6 +37,7 @@ from apex_tpu.envs.cassie import NEUTRAL_FOOT_ORIENT
 @struct.dataclass
 class PlaygroundState:
     phys: CassiePhysState
+    params: PhysParams
     phase: jnp.ndarray
     counter: jnp.ndarray
     command_counter: jnp.ndarray
@@ -51,6 +52,10 @@ class CassiePlayground(Env):
     mission: str = "default"
     reward: str = "command"        # command | command_no_pos | keepalive
     traj: str = "walking"
+    # static heightfield-terrain switch (the reference 5k matrix swaps in
+    # hfield terrain xmls, 5k_test.py:302-304); per-env tables then flow
+    # through state.params.hfield
+    hfield: bool = False
 
     observation_size = 49
     action_size = 10
@@ -60,6 +65,8 @@ class CassiePlayground(Env):
 
     def __post_init__(self):
         self.model = cassie_model()
+        if self.hfield:
+            self.model = dataclasses.replace(self.model, enable_hfield=True)
         self.params = PhysParams.from_model(self.model)
         trajectory = CassieTrajectory(self.traj)
         self.phaselen = float(floor(len(trajectory) / self.simrate) - 1)
@@ -74,7 +81,7 @@ class CassiePlayground(Env):
     def reset(self, rng):
         phys = CassiePhysState.standing()
         state = PlaygroundState(
-            phys=phys, phase=jnp.zeros(()),
+            phys=phys, params=self.params, phase=jnp.zeros(()),
             counter=jnp.zeros((), jnp.int32),
             command_counter=jnp.zeros((), jnp.int32),
             time=jnp.zeros((), jnp.int32),
@@ -102,7 +109,7 @@ class CassiePlayground(Env):
         cmd = PDCommand.from_targets(action + self._offset)
 
         def substep(phys, _):
-            phys, diag = pd_substep(m, self.params, phys, cmd)
+            phys, diag = pd_substep(m, state.params, phys, cmd)
             return phys, diag
 
         phys, diag_seq = jax.lax.scan(substep, state.phys, None,
@@ -124,8 +131,9 @@ class CassiePlayground(Env):
         cc = jnp.where(cc_wrap, 0, cc)
 
         new_state = PlaygroundState(
-            phys=phys, phase=phase, counter=counter, command_counter=cc,
-            time=time_, last_position=last_position, prev_action=action)
+            phys=phys, params=state.params, phase=phase, counter=counter,
+            command_counter=cc, time=time_, last_position=last_position,
+            prev_action=action)
 
         reward = self._reward(new_state)
         height = phys.qpos[2]

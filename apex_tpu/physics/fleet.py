@@ -279,7 +279,15 @@ class FleetKin(NamedTuple):
 
 def _fk_bt(model: PhysModel, body_ipos: jnp.ndarray,
            qpos: jnp.ndarray) -> FleetKin:
-    """qpos (nq, B), body_ipos (nb, 3, B)."""
+    """qpos (nq, B), body_ipos (nb, 3, B). On TPU the whole position pass
+    runs as ONE Pallas program (fleet_fk.py) -- the XLA lowering of the
+    body-chain fragments into ~100 tiny kernels and ran 50x off roofline."""
+    if jax.default_backend() not in ("cpu", "gpu"):
+        from apex_tpu.physics.fleet_fk import pallas_fk
+
+        xpos, ximat, xipos, cdof, origin = pallas_fk(model, body_ipos, qpos)
+        return FleetKin(xpos=xpos, ximat=ximat, xipos=xipos, cdof=cdof,
+                        origin=origin)
     nb, nv = model.nbody, model.nv
     st = _Structure.of(model)
     B = qpos.shape[-1]
@@ -372,13 +380,15 @@ def _dynamics_bt(model: PhysModel, params_bt: PhysParams, qpos: jnp.ndarray,
     cdof_dot = _cross_motion_bt(v_pre, kin.cdof)
 
     # spatial inertias about origin: R I0 R^T, skew-square closed form
-    I0 = model.body_inertia                 # (nb, 3, 3) const
+    I0 = jnp.asarray(model.body_inertia)    # (nb, 3, 3) const
     R = kin.ximat                           # (nb, 3, 3, B)
+    # unrolled over the 3-length contraction (the jnp.sum form materialized
+    # a rank-5 (nb, 3, 3, 3, B) intermediate twice)
     # T[., i, j, :] = sum_k R[., i, k, :] * I0[., k, j]
-    T = jnp.sum(R[:, :, :, None, :]
-                * jnp.asarray(I0)[:, None, :, :, None], axis=2)
+    T = sum(R[:, :, k, None, :] * I0[:, None, k, :, None] for k in range(3))
     # I_world[., i, j, :] = sum_k T[., i, k, :] * R[., j, k, :]
-    I_world = jnp.sum(T[:, :, None, :, :] * R[:, None, :, :, :], axis=3)
+    I_world = sum(T[:, :, k, None, :] * R[:, None, :, k, :]
+                  for k in range(3))
 
     c = kin.xipos                           # (nb, 3, B)
     ccT = c[:, :, None, :] * c[:, None, :, :]
@@ -407,18 +417,25 @@ def _dynamics_bt(model: PhysModel, params_bt: PhysParams, qpos: jnp.ndarray,
     a0 = np.concatenate([np.zeros(3), -grav])
     body_acc = (jnp.asarray(a0)[None, :, None]
                 + _mm_left(A, cdof_dot * qvel[:, None, :]))   # (nb, 6, B)
-    Iv = jnp.sum(inertias * body_vel[:, None, :, :], axis=2)
-    body_frc = (jnp.sum(inertias * body_acc[:, None, :, :], axis=2)
+    # 6-wide matvecs as unrolled FMA chains: the jnp.sum form materializes
+    # the (nb, 6, 6, B) product (3.8 MB/substep at fleet 1024) per matvec
+    Iv = sum(inertias[:, :, j, :] * body_vel[:, None, j, :]
+             for j in range(6))
+    body_frc = (sum(inertias[:, :, j, :] * body_acc[:, None, j, :]
+                    for j in range(6))
                 + _cross_force_bt(body_vel, Iv))              # (nb, 6, B)
 
     F_sub = _mm_left(A.T, body_frc)         # (nv, 6, B) -- MXU
-    qfrc_bias = jnp.sum(kin.cdof * F_sub, axis=1)             # (nv, B)
+    qfrc_bias = sum(kin.cdof[:, j, :] * F_sub[:, j, :] for j in range(6))
 
     # CRBA: composite inertias per dof
     Ic_dof = _mm_left(A.T, inertias.reshape(nb, -1)).reshape(
         nv, 6, 6, B)                        # -- MXU
-    H = jnp.sum(Ic_dof * kin.cdof[:, None, :, :], axis=2)     # (nv, 6, B)
-    M_full = jnp.sum(H[:, None, :, :] * kin.cdof[None, :, :, :], axis=2)
+    H = sum(Ic_dof[:, :, j, :] * kin.cdof[:, None, j, :] for j in range(6))
+    # M_full: the jnp.sum form materialized a (nv, nv, 6, B) intermediate
+    # (25 MB/substep at fleet 1024)
+    M_full = sum(H[:, None, j, :] * kin.cdof[None, :, j, :]
+                 for j in range(6))
     Ml = M_full * st.crba_mask[:, :, None]
     diag_idx = np.arange(nv)
     Mdiag = Ml[diag_idx, diag_idx]          # (nv, B)

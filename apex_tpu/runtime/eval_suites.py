@@ -200,42 +200,130 @@ def eval_sensitivity(env_base, policy_fn, param: str = "friction",
             "survival_rate": survived.mean(axis=1)}
 
 
-def eval_5k_matrix(env_base, policy_fn, speeds=(0.5, 1.4, 2.3),
-                   frictions=(0.5, 0.8, 1.1), foot_mass_scales=(1.0, 1.5),
-                   slopes=(0.0, 0.03), episode_steps: int = 400,
-                   seed: int = 0):
-    """The reference's "5k" robustness matrix (5k_test.py:19-129): a grid of
-    {speed x friction x foot mass x slope}, pass-rate per cell. Terrain-xml
-    variants are represented by the slope axis (heightfields pending)."""
+DEFAULT_5K_TERRAINS = ("flat", "noise1", "noise2", "hill1", "hill2",
+                       "up_3", "down_3", "left_3", "right_3")
+
+
+def _terrain_config(name: str, seed: int = 0):
+    """Terrain spec -> (needs_hfield, hfield_table_or_None, floor_euler).
+
+    Mirrors the reference terrain list (5k_test.py:302-304): the flat xml,
+    noisy heightfields (terrains/noise*.npy), rolling-hill heightfields
+    (rand_hill*.npy) and 3-degree tilt ramps (up/down/left/right_3)."""
+    from apex_tpu.utils.terrain import noise_hfield
+
+    key = jax.random.fold_in(jax.random.PRNGKey(seed),
+                             abs(hash(name)) % (2 ** 31))
+    tilt = np.deg2rad(3.0)
+    if name == "flat":
+        return False, None, (0.0, 0.0)
+    if name.startswith("noise"):
+        return True, np.asarray(noise_hfield(key, amplitude=0.04,
+                                             smoothness=2)), (0.0, 0.0)
+    if name.startswith("hill"):
+        return True, np.asarray(noise_hfield(key, amplitude=0.15,
+                                             smoothness=8)), (0.0, 0.0)
+    if name == "up_3":
+        return False, None, (tilt, 0.0)
+    if name == "down_3":
+        return False, None, (-tilt, 0.0)
+    if name == "left_3":
+        return False, None, (0.0, tilt)
+    if name == "right_3":
+        return False, None, (0.0, -tilt)
+    raise ValueError(f"unknown terrain {name}")
+
+
+def eval_5k_matrix(policy_fn,
+                   missions=("straight", "curvy", "90_left", "90_right"),
+                   mission_speeds=(0.5, 1.4, 2.8),
+                   terrains=DEFAULT_5K_TERRAINS,
+                   frictions=(0.8, 1.0, 1.2),
+                   foot_mass_scales=(0.8, 1.0, 1.2),
+                   simrate: int = 60,
+                   max_steps: int = 900,
+                   seed: int = 0,
+                   env_base=None):
+    """The reference's full "5k" robustness matrix (5k_test.py:330-391):
+    missions x mission-speeds x terrains (flat / noise+hill heightfields /
+    3-degree tilts) x frictions x foot masses. A trial runs the mission's
+    command schedule on CassiePlayground; pass = not falling before the
+    schedule ends (5k_test.py:19-74).
+
+    frictions / foot_mass_scales are multiples of the model defaults
+    (reference sweeps .8x..1.2x, 5k_test.py:307-310). Returns the pass
+    tensor plus per-axis pass-rate breakdowns (report_stats,
+    5k_test.py:230-285)."""
+    from apex_tpu.envs.cassie_playground import CassiePlayground
     from apex_tpu.utils.quaternion import euler2quat
 
-    foot_ids = [env_base.model.body_id("left-foot"),
-                env_base.model.body_id("right-foot")]
+    shape = (len(missions), len(mission_speeds), len(terrains),
+             len(frictions), len(foot_mass_scales))
+    passed = np.zeros(shape, dtype=bool)
 
-    def single(speed, fric, fmass, slope, key):
-        k_reset, k_run = jax.random.split(key)
-        state, obs = env_base.reset(k_reset)
-        p = state.params
-        mass = p.body_mass
-        for fid in foot_ids:
-            mass = mass.at[fid].multiply(fmass)
-        p = p.replace(friction=fric, body_mass=mass,
-                      floor_quat=euler2quat(z=0.0, y=slope, x=0.0))
-        state = state.replace(params=p, speed=speed)
-        _, _, fallen = _run_steps(env_base, policy_fn, state, obs, k_run,
-                                  episode_steps)
-        return jnp.logical_not(fallen)
+    fr = jnp.asarray(np.repeat(frictions, len(foot_mass_scales)), jnp.float32)
+    fm = jnp.asarray(np.tile(foot_mass_scales, len(frictions)), jnp.float32)
+    Bcell = fr.shape[0]
 
-    S, F, M, L = np.meshgrid(speeds, frictions, foot_mass_scales, slopes,
-                             indexing="ij")
-    flat = [jnp.asarray(x.ravel(), jnp.float32) for x in (S, F, M, L)]
-    keys = jax.random.split(jax.random.PRNGKey(seed), flat[0].shape[0])
-    passed = np.asarray(jax.jit(jax.vmap(single))(*flat, keys))
+    envs = {}   # (mission_name, hfield) -> env; python-level jit cache
+
+    def run_cell(env, hf_table, euler, key):
+        foot_ids = [env.model.body_id("left-foot"),
+                    env.model.body_id("right-foot")]
+        steps = min(max_steps, env.trajlen - 1)
+
+        def single(fric, fmass, k):
+            k_reset, k_run = jax.random.split(k)
+            state, obs = env.reset(k_reset)
+            p = state.params
+            mass = p.body_mass
+            for fid in foot_ids:
+                mass = mass.at[fid].multiply(fmass)
+            p = p.replace(friction=p.friction * fric, body_mass=mass,
+                          floor_quat=euler2quat(z=jnp.zeros(()),
+                                                y=jnp.asarray(euler[0]),
+                                                x=jnp.asarray(euler[1])))
+            if hf_table is not None:
+                p = p.replace(hfield=jnp.asarray(hf_table, jnp.float32),
+                              hfield_active=jnp.ones(()))
+            state = state.replace(params=p)
+            _, _, fallen = _run_steps(env, policy_fn, state, obs, k_run,
+                                      steps)
+            return jnp.logical_not(fallen)
+
+        keys = jax.random.split(key, Bcell)
+        return np.asarray(jax.jit(jax.vmap(single))(fr, fm, keys))
+
+    for mi, mission in enumerate(missions):
+        for si, speed in enumerate(mission_speeds):
+            mname = f"{mission}_{speed}"
+            for ti, terrain in enumerate(terrains):
+                needs_hf, table, euler = _terrain_config(terrain, seed)
+                ekey = (mname, needs_hf)
+                if ekey not in envs:
+                    envs[ekey] = CassiePlayground(
+                        mission=mname, simrate=simrate, hfield=needs_hf)
+                key = jax.random.fold_in(
+                    jax.random.PRNGKey(seed), mi * 1000 + si * 100 + ti)
+                cell = run_cell(envs[ekey], table, euler, key)
+                passed[mi, si, ti] = cell.reshape(len(frictions),
+                                                  len(foot_mass_scales))
+
+    def axis_rate(axis_names, axis):
+        keep = tuple(i for i in range(passed.ndim) if i != axis)
+        return dict(zip(axis_names, passed.mean(axis=keep)))
+
     return {
-        "grid": dict(speeds=speeds, frictions=frictions,
-                     foot_mass_scales=foot_mass_scales, slopes=slopes),
-        "passed": passed.reshape(S.shape),
+        "grid": dict(missions=missions, mission_speeds=mission_speeds,
+                     terrains=terrains, frictions=frictions,
+                     foot_mass_scales=foot_mass_scales),
+        "passed": passed,
         "pass_rate": passed.mean(),
+        "by_mission": axis_rate(missions, 0),
+        "by_speed": axis_rate(mission_speeds, 1),
+        "by_terrain": axis_rate(terrains, 2),
+        "by_friction": axis_rate(frictions, 3),
+        "by_foot_mass": axis_rate(foot_mass_scales, 4),
     }
 
 

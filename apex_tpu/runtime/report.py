@@ -21,49 +21,75 @@ def _pdf(path):
 
 
 def report_5k(result: dict, path: str, title: str = "5k robustness matrix"):
-    """result = eval_suites.eval_5k_matrix(...) output. One page per
-    foot-mass x slope cell with a speed x friction pass table, plus a
-    summary page (5k_test.py report_stats equivalent)."""
+    """result = eval_suites.eval_5k_matrix(...) output. Page 1: overall +
+    per-axis pass-rate bars (reference report_stats, 5k_test.py:230-285);
+    then one terrain x mission heatmap per speed, and a friction x
+    foot-mass heatmap aggregated over the rest."""
     import matplotlib.pyplot as plt
 
     grid = result["grid"]
     passed = np.asarray(result["passed"], dtype=float)
-    speeds = list(grid["speeds"])
+    missions = list(grid["missions"])
+    speeds = list(grid["mission_speeds"])
+    terrains = list(grid["terrains"])
     frictions = list(grid["frictions"])
     fmasses = list(grid["foot_mass_scales"])
-    slopes = list(grid["slopes"])
+
+    def _heat(ax, cell, xlabels, ylabels, xlabel, ylabel, subtitle):
+        im = ax.imshow(cell, vmin=0, vmax=1, cmap="RdYlGn", aspect="auto")
+        ax.set_xticks(range(len(xlabels)), [f"{x}" for x in xlabels],
+                      rotation=45, ha="right", fontsize=7)
+        ax.set_yticks(range(len(ylabels)), [f"{y}" for y in ylabels],
+                      fontsize=7)
+        ax.set_xlabel(xlabel)
+        ax.set_ylabel(ylabel)
+        ax.set_title(subtitle, fontsize=9)
+        for (yi, xi), v in np.ndenumerate(cell):
+            ax.text(xi, yi, f"{v:.2f}", ha="center", va="center", fontsize=6)
+        return im
 
     with _pdf(path) as pdf:
-        fig, ax = plt.subplots(figsize=(8.5, 3))
-        ax.axis("off")
-        ax.set_title(title)
-        ax.text(0.02, 0.6, f"overall pass rate: {result['pass_rate']:.3f}",
-                fontsize=14)
-        ax.text(0.02, 0.35,
-                f"grid: speeds={speeds} frictions={frictions} "
-                f"foot-mass x{fmasses} slopes={slopes}", fontsize=9)
+        # summary page with per-axis breakdown bars
+        fig, axes = plt.subplots(1, 5, figsize=(11, 3.2))
+        fig.suptitle(f"{title} -- overall pass rate "
+                     f"{result['pass_rate']:.3f}")
+        for ax, key, names in (
+                (axes[0], "by_mission", missions),
+                (axes[1], "by_speed", speeds),
+                (axes[2], "by_terrain", terrains),
+                (axes[3], "by_friction", frictions),
+                (axes[4], "by_foot_mass", fmasses)):
+            rates = [float(v) for v in result[key].values()]
+            ax.bar(range(len(names)), rates, color="#4a7")
+            ax.set_xticks(range(len(names)), [f"{n}" for n in names],
+                          rotation=60, ha="right", fontsize=6)
+            ax.set_ylim(0, 1)
+            ax.set_title(key[3:], fontsize=9)
+        fig.tight_layout()
         pdf.savefig(fig)
         plt.close(fig)
 
-        for mi, fm in enumerate(fmasses):
-            for si, sl in enumerate(slopes):
-                cell = passed[:, :, mi, si]           # (speeds, frictions)
-                fig, ax = plt.subplots(figsize=(6, 4))
-                im = ax.imshow(cell, vmin=0, vmax=1, cmap="RdYlGn",
-                               aspect="auto")
-                ax.set_xticks(range(len(frictions)),
-                              [f"{f:g}" for f in frictions])
-                ax.set_yticks(range(len(speeds)), [f"{s:g}" for s in speeds])
-                ax.set_xlabel("friction")
-                ax.set_ylabel("speed (m/s)")
-                ax.set_title(f"foot mass x{fm:g}, slope {sl:g} rad "
-                             f"(pass rate {cell.mean():.2f})")
-                for (yi, xi), v in np.ndenumerate(cell):
-                    ax.text(xi, yi, "pass" if v > 0.5 else "FAIL",
-                            ha="center", va="center", fontsize=9)
-                fig.colorbar(im, ax=ax, shrink=0.8)
-                pdf.savefig(fig)
-                plt.close(fig)
+        # terrain x mission per speed
+        for si, sp in enumerate(speeds):
+            cell = passed[:, si].mean(axis=(2, 3))      # (mission, terrain)
+            fig, ax = plt.subplots(figsize=(8, 4))
+            im = _heat(ax, cell, terrains, missions, "terrain", "mission",
+                       f"speed {sp} m/s (pass rate {cell.mean():.2f})")
+            fig.colorbar(im, ax=ax, shrink=0.8)
+            fig.tight_layout()
+            pdf.savefig(fig)
+            plt.close(fig)
+
+        # friction x foot-mass aggregate
+        cell = passed.mean(axis=(0, 1, 2))              # (friction, fmass)
+        fig, ax = plt.subplots(figsize=(5, 4))
+        im = _heat(ax, cell, fmasses, frictions, "foot mass scale",
+                   "friction scale",
+                   f"friction x foot-mass (pass rate {cell.mean():.2f})")
+        fig.colorbar(im, ax=ax, shrink=0.8)
+        fig.tight_layout()
+        pdf.savefig(fig)
+        plt.close(fig)
     return path
 
 

@@ -55,8 +55,27 @@ def _lib():
             ctypes.c_int, ctypes.POINTER(ctypes.c_float),
             ctypes.POINTER(ctypes.c_uint8)]
         lib.apex_wait_for_packet.argtypes = [ctypes.c_int, ctypes.c_int]
+        lib.apex_send_raw.argtypes = [
+            ctypes.c_int, ctypes.POINTER(_HeaderInfo),
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_uint8]
+        lib.apex_recv_newest_raw.argtypes = [
+            ctypes.c_int, ctypes.POINTER(ctypes.c_uint8), ctypes.c_int,
+            ctypes.POINTER(ctypes.c_uint8)]
         _LIB = lib
     return _LIB
+
+
+def _send_raw(sock, info, last_seq_in, payload: bytes) -> int:
+    buf = (ctypes.c_uint8 * len(payload)).from_buffer_copy(payload)
+    return _lib().apex_send_raw(sock, ctypes.byref(info), buf, len(payload),
+                                last_seq_in.value)
+
+
+def _recv_raw(sock, last_seq_in, size: int):
+    buf = (ctypes.c_uint8 * size)()
+    n = _lib().apex_recv_newest_raw(sock, buf, size,
+                                    ctypes.byref(last_seq_in))
+    return bytes(buf[:n]) if n >= size else None
 
 
 class CassieUdp:
@@ -92,6 +111,25 @@ class CassieUdp:
 
     def wait(self, timeout_ms=1000):
         return _lib().apex_wait_for_packet(self.sock, timeout_ms) > 0
+
+    # ---- Agility-compatible wire format (reference send_pd/recv_newest_pd,
+    # cassiemujoco.py:428-482: 2-byte header + pd_in_t 476 B out,
+    # state_out_t 493 B in) ----
+    def send_pd_t(self, pd) -> None:
+        """pd: agility_wire.PdIn (or a flat [left5, right5] target array)."""
+        from apex_tpu.runtime import agility_wire as aw
+
+        if not isinstance(pd, aw.PdIn):
+            pd = aw.PdIn.from_targets(pd)
+        _send_raw(self.sock, self.info, self._last_seq_in, aw.pack_pd_in(pd))
+
+    def recv_newest_pd_t(self):
+        """Latest state_out_t as agility_wire.StateOut, or None."""
+        from apex_tpu.runtime import agility_wire as aw
+
+        data = _recv_raw(self.sock, self._last_seq_in,
+                         aw.STATE_OUT_PACKED_LEN)
+        return None if data is None else aw.unpack_state_out(data)
 
     @property
     def delay(self):
@@ -134,6 +172,20 @@ class RobotSideLink:
             self.sock, ctypes.byref(self.info),
             state.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
             self._last_seq_in.value)
+
+    def recv_newest_pd_agility(self):
+        """Latest pd_in_t (476 B payload) as agility_wire.PdIn, or None."""
+        from apex_tpu.runtime import agility_wire as aw
+
+        data = _recv_raw(self.sock, self._last_seq_in, aw.PD_IN_PACKED_LEN)
+        return None if data is None else aw.unpack_pd_in(data)
+
+    def send_state_t(self, state_out) -> None:
+        """state_out: agility_wire.StateOut (pack_state_out_t framing)."""
+        from apex_tpu.runtime import agility_wire as aw
+
+        _send_raw(self.sock, self.info, self._last_seq_in,
+                  aw.pack_state_out(state_out))
 
     def wait(self, timeout_ms=1000):
         return _lib().apex_wait_for_packet(self.sock, timeout_ms) > 0

@@ -74,9 +74,29 @@ def bench_toy_ppo(num_envs=2048, iters=8):
 
 
 def main():
-    # anchor: reference PPO sampling throughput, 30 CPU worker procs
-    # (apex.py:244) x ~60 env-steps/s/proc of 2 kHz C physics ~ 2k steps/s
-    baseline = 2_000.0
+    # anchor: MEASURED reference-shaped sampling throughput (torch FF
+    # policy + 2 kHz MuJoCo PD substeps over the reference cassie.xml,
+    # process-parallel) -- produced by tools/measure_reference_anchor.py,
+    # stored in BASELINE_MEASURED.json. Falls back to a 30-proc
+    # extrapolation of the measured ~155 steps/s/proc if the file is
+    # missing (the reference default is 30 procs, apex.py:244).
+    import os
+    baseline = 155.0 * 30
+    measured = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "BASELINE_MEASURED.json")
+    if os.path.exists(measured):
+        try:
+            with open(measured) as f:
+                info = json.load(f)
+            # scale the measured per-proc rate to the reference's default
+            # 30-proc deployment for a like-for-like aggregate anchor
+            per_proc = info.get("per_proc_env_steps_per_s")
+            if per_proc:
+                baseline = 30.0 * (sum(per_proc) / len(per_proc))
+            else:
+                baseline = float(info["anchor_env_steps_per_s"])
+        except Exception:
+            pass
     try:
         _alarm(1500)
         sps = bench_cassie_ppo()

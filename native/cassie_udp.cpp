@@ -145,6 +145,44 @@ int apex_recv_newest_state(int fd, float *state, uint8_t *seq) {
   return n;
 }
 
+// ---------------------------------------------------------------------------
+// raw-payload framing: 2-byte header + arbitrary payload. Used by the
+// Agility-compatible wire codec (apex_tpu/runtime/agility_wire.py) to frame
+// the exact pd_in_t (476 B) / state_out_t (493 B) packings
+// (reference include/pd_in_t.h:20, include/state_out_t.h:20), so the link
+// interoperates with the reference stack and real hardware.
+// ---------------------------------------------------------------------------
+
+int apex_send_raw(int fd, PacketHeaderInfo *info, const uint8_t *payload,
+                  int len, uint8_t last_seq_in) {
+  uint8_t buf[2048];
+  if (len + HEADER_BYTES > (int)sizeof(buf)) return -1;
+  uint8_t hin[2] = {last_seq_in, 0};
+  apex_process_packet_header(info, hin, buf);
+  std::memcpy(buf + HEADER_BYTES, payload, len);
+  return (int)send(fd, buf, HEADER_BYTES + len, 0);
+}
+
+// Returns payload BYTE count of the newest packet (0 if none, -1 error).
+int apex_recv_newest_raw(int fd, uint8_t *payload, int cap, uint8_t *seq) {
+  uint8_t buf[2048];
+  int want = cap + HEADER_BYTES > (int)sizeof(buf)
+                 ? (int)sizeof(buf)
+                 : cap + HEADER_BYTES;
+  int got = 0;
+  while (true) {
+    ssize_t n = recv(fd, buf, want, MSG_DONTWAIT);
+    if (n <= 0) break;
+    got = (int)n;
+  }
+  if (got < HEADER_BYTES) return got == 0 ? 0 : -1;
+  *seq = buf[0];
+  int len = got - HEADER_BYTES;
+  if (len > cap) len = cap;
+  std::memcpy(payload, buf + HEADER_BYTES, len);
+  return len;
+}
+
 // Blocking wait with timeout (ms) for any packet.
 int apex_wait_for_packet(int fd, int timeout_ms) {
   fd_set set;

@@ -104,3 +104,48 @@ def test_ars_improves_on_pointmass():
         rets.append(float(m["mean_return"]))
     assert max(rets[-5:]) > first + 1.0, (
         f"no improvement: {first} -> {rets[-5:]}")
+
+
+def test_recurrent_ars_lstm_policy():
+    """ARS with the LSTM policy (reference ars.py:168-181 --recurrent path).
+
+    Derivative-free search over RNN weights is far weaker than the linear
+    case (the ARS paper's motivation for linear policies) -- the reference
+    would face the same landscape -- so the learning bound here is modest;
+    the test additionally pins that the rollout really carries hidden
+    state (same observation, different history => different action)."""
+    env = PointMassEnv()
+    cfg = ARSConfig(deltas=64, deltas_used=64, step_size=0.015,
+                    delta_std=0.025, max_traj_len=60, hidden_size=4,
+                    algo="v1", recurrent=True)
+    ars = ARS(env, cfg)
+    state = ars.init(seed=0)
+
+    # memory check: step the policy twice on the same obs; the second
+    # action must differ because the hidden state advanced
+    from apex_tpu.models import GaussianLSTMActor, NormState
+
+    theta = 0.3 * jax.random.normal(jax.random.PRNGKey(3),
+                                    state.theta.shape)
+    actor = GaussianLSTMActor(params=ars._unravel(theta), fixed_std=1.0,
+                              layers=ars._lstm_layers)
+    norm = NormState.create(env.observation_size)
+    obs = jax.numpy.ones(env.observation_size)
+    h0 = actor.zero_carry(())
+    h1, (a1, _) = actor.step_dist(norm, h0, obs)
+    h2, (a2, _) = actor.step_dist(norm, h1, obs)
+    assert float(jax.numpy.abs(a1 - a2).max()) > 1e-4
+
+    # learning: small-std, all-directions config; modest but real
+    # improvement over 100 iterations (measured: ~+0.9 on this seed)
+    state = state.replace(theta=0.01 * jax.random.normal(
+        jax.random.PRNGKey(7), state.theta.shape))
+    state, m0 = ars._step(state)
+    first = float(m0["mean_return"])
+    best = -np.inf
+    for _ in range(100):
+        state, m = ars._step(state)
+        best = max(best, float(m["mean_return"]))
+    assert np.isfinite(best)
+    assert best > first + 0.5, (
+        f"recurrent ARS did not improve: first {first}, best {best}")

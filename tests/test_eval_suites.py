@@ -44,11 +44,29 @@ def test_command_following_runs(env_and_policy):
 
 
 def test_5k_matrix_runs(env_and_policy):
-    env, policy_fn = env_and_policy
-    out = eval_5k_matrix(env, policy_fn, speeds=(0.5,), frictions=(0.8,),
-                         foot_mass_scales=(1.0,), slopes=(0.0,),
-                         episode_steps=3)
-    assert out["passed"].shape == (1, 1, 1, 1)
+    """Full-axis 5k grid (reference 5k_test.py:330-391): missions x speeds
+    x terrains (incl. a heightfield and a tilt) x frictions x foot masses,
+    with per-axis breakdowns."""
+    # 5k runs on CassiePlayground (obs 49, reference 5k_test.py uses the
+    # mission env); build a playground-sized policy
+    from apex_tpu.envs.cassie_playground import CassiePlayground
+
+    actor = GaussianFFActor.init(jax.random.PRNGKey(1),
+                                 CassiePlayground.observation_size, 10,
+                                 fixed_std=0.1)
+    norm = NormState.create(CassiePlayground.observation_size)
+
+    def policy_fn(obs):
+        return actor.act(norm, obs, deterministic=True)
+
+    out = eval_5k_matrix(policy_fn, missions=("straight",),
+                         mission_speeds=(0.9,),
+                         terrains=("flat", "noise1", "up_3"),
+                         frictions=(1.0,), foot_mass_scales=(1.0, 1.2),
+                         max_steps=3)
+    assert out["passed"].shape == (1, 1, 3, 1, 2)
+    assert set(out["by_terrain"]) == {"flat", "noise1", "up_3"}
+    assert 0.0 <= out["pass_rate"] <= 1.0
 
 
 def test_pdf_reports(tmp_path):
@@ -64,9 +82,17 @@ def test_pdf_reports(tmp_path):
     )
 
     rng = np.random.RandomState(0)
-    r5 = {"grid": dict(speeds=(0.5, 1.4), frictions=(0.5, 1.1),
-                       foot_mass_scales=(1.0,), slopes=(0.0,)),
-          "passed": rng.rand(2, 2, 1, 1) > 0.3, "pass_rate": 0.75}
+    passed = rng.rand(2, 2, 3, 2, 2) > 0.3
+    r5 = {"grid": dict(missions=("straight", "curvy"),
+                       mission_speeds=(0.5, 1.4),
+                       terrains=("flat", "noise1", "up_3"),
+                       frictions=(0.8, 1.2), foot_mass_scales=(1.0, 1.2)),
+          "passed": passed, "pass_rate": float(passed.mean()),
+          "by_mission": {"straight": 0.7, "curvy": 0.8},
+          "by_speed": {0.5: 0.7, 1.4: 0.8},
+          "by_terrain": {"flat": 0.9, "noise1": 0.6, "up_3": 0.7},
+          "by_friction": {0.8: 0.7, 1.2: 0.8},
+          "by_foot_mass": {1.0: 0.7, 1.2: 0.8}}
     p1 = report_5k(r5, str(tmp_path / "r5.pdf"))
     rp = {"angles": np.linspace(0, 2 * np.pi, 4, endpoint=False),
           "forces": np.arange(25, 101, 25),

@@ -176,3 +176,38 @@ def test_fleet_walker2d_model():
         lambda p, q, v, u: engine._step_single(m, p, q, v, u)))(
             params, qpos, qvel, ctrl)
     _assert_stepout_close(out_fleet, out_ref)
+
+
+def test_pallas_fk_interpret_matches_xla_fk():
+    """The Pallas FK kernel (TPU path) in interpret mode == the XLA
+    batch-last FK, for Cassie (ball joints) and Walker2d (slides/hinges)."""
+    from apex_tpu.physics import fleet
+    from apex_tpu.physics.fleet_fk import pallas_fk
+    from apex_tpu.envs.walker2d import walker_model
+
+    for model, nq_noise in ((cassie_model(), 0.01), (walker_model(), 0.05)):
+        B = 4
+        key = jax.random.PRNGKey(11)
+        if model is cassie_model():
+            qpos = jnp.tile(jnp.asarray(CassiePhysState.standing().qpos),
+                            (B, 1))
+        else:
+            qpos = jnp.tile(jnp.asarray(model.qpos0), (B, 1))
+        qpos = (qpos + nq_noise * jax.random.normal(key, (B, model.nq))).T
+        ipos = jnp.broadcast_to(jnp.asarray(model.body_ipos)[:, :, None],
+                                (model.nbody, 3, B))
+        kin = fleet._fk_bt(model, ipos, qpos)
+        xpos, ximat, xipos, cdof, origin = pallas_fk(model, ipos, qpos,
+                                                     block_b=4,
+                                                     interpret=True)
+        np.testing.assert_allclose(np.asarray(xpos), np.asarray(kin.xpos),
+                                   rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(ximat), np.asarray(kin.ximat),
+                                   rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(xipos), np.asarray(kin.xipos),
+                                   rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(cdof), np.asarray(kin.cdof),
+                                   rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(origin),
+                                   np.asarray(kin.origin),
+                                   rtol=1e-6, atol=1e-7)
