@@ -35,13 +35,22 @@ def replicated(mesh: Mesh) -> NamedSharding:
 def shard_runner(mesh: Mesh, runner, axis: str = "env"):
     """Place a RunnerState: per-env leaves (leading dim == fleet size)
     sharded over the env axis, everything else (rng key, scalars)
-    replicated."""
+    replicated.
+
+    The `rng` leaf is ALWAYS replicated by name: a (2,)-shaped PRNG key
+    matches the shape heuristic when the fleet happens to be 2 envs wide,
+    which would silently split the key across devices (the bug fixed in
+    commit 27b1560)."""
     env_sh = env_sharding(mesh, axis)
     rep = replicated(mesh)
     num_envs = runner.obs.shape[0]
+    rng_leaf = getattr(runner, "rng", None)
 
     def place(x):
-        if getattr(x, "ndim", 0) >= 1 and x.shape[0] == num_envs:
+        if x is rng_leaf:
+            return jax.device_put(x, rep)
+        if (getattr(x, "ndim", 0) >= 1 and x.shape[0] == num_envs
+                and x.dtype != jax.numpy.uint32):
             return jax.device_put(x, env_sh)
         return jax.device_put(x, rep)
 

@@ -122,21 +122,57 @@ def eval_commands(
             minval=-jnp.pi / 4, maxval=jnp.pi / 4)
 
         def command_block(carry, idx):
-            st, ob, fallen = carry
+            st, ob, fallen, fail_idx = carry
             st = st.replace(speed=speeds[idx], orient_add=orients[idx])
             st, ob, f = _run_steps(env, policy_fn, st, ob,
                                    jax.random.fold_in(k_run, idx),
                                    steps_per_command)
-            return (st, ob, fallen | f), None
+            fail_idx = jnp.where(fallen | ~f, fail_idx, idx)
+            return (st, ob, fallen | f, fail_idx), None
 
-        (_, _, fallen), _ = jax.lax.scan(
-            command_block, (state, obs, jnp.zeros((), bool)),
+        (_, _, fallen, fail_idx), _ = jax.lax.scan(
+            command_block,
+            (state, obs, jnp.zeros((), bool), jnp.asarray(-1, jnp.int32)),
             jnp.arange(n_commands))
-        return jnp.logical_not(fallen)
+        return jnp.logical_not(fallen), fail_idx, speeds, orients
 
     keys = jax.random.split(jax.random.PRNGKey(seed), n_trials)
-    passed = np.asarray(jax.jit(jax.vmap(single))(keys))
-    return {"pass_rate": passed.mean(), "passed": passed}
+    passed, fail_idx, speeds, orients = jax.jit(jax.vmap(single))(keys)
+    passed = np.asarray(passed)
+    fail_idx = np.asarray(fail_idx)
+    speeds = np.asarray(speeds)
+    orients = np.asarray(orients)
+
+    # report_stats-level failure aggregation (reference
+    # tools/test_commands.py:187-223): classify each failure by whether the
+    # SPEED change or the ORIENT change into the failing command was the
+    # dominant delta, and report the average failing magnitudes.
+    fail_speed, fail_orient = [], []
+    speed_fails = orient_fails = 0
+    for t in range(n_trials):
+        i = fail_idx[t]
+        if passed[t] or i < 0:
+            continue
+        ds = abs(speeds[t, i] - (speeds[t, i - 1] if i > 0 else 0.0))
+        do = abs(orients[t, i] - (orients[t, i - 1] if i > 0 else 0.0))
+        # normalize deltas by command range to compare the two axes
+        if ds / max_speed >= do / (np.pi / 2):
+            speed_fails += 1
+        else:
+            orient_fails += 1
+        fail_speed.append(speeds[t, i])
+        fail_orient.append(do)
+    return {
+        "pass_rate": passed.mean(),
+        "passed": passed,
+        "fail_command_idx": fail_idx,
+        "n_speed_fails": speed_fails,
+        "n_orient_fails": orient_fails,
+        "avg_failing_speed": float(np.mean(fail_speed)) if fail_speed
+        else float("nan"),
+        "avg_failing_orient_delta": float(np.mean(fail_orient))
+        if fail_orient else float("nan"),
+    }
 
 
 def eval_mission(policy_fn, mission: str = "default", simrate: int = 60,
@@ -210,10 +246,15 @@ def _terrain_config(name: str, seed: int = 0):
     Mirrors the reference terrain list (5k_test.py:302-304): the flat xml,
     noisy heightfields (terrains/noise*.npy), rolling-hill heightfields
     (rand_hill*.npy) and 3-degree tilt ramps (up/down/left/right_3)."""
+    import hashlib
+
     from apex_tpu.utils.terrain import noise_hfield
 
-    key = jax.random.fold_in(jax.random.PRNGKey(seed),
-                             abs(hash(name)) % (2 ** 31))
+    # deterministic name->seed: Python's str hash is salted per process
+    # (PYTHONHASHSEED), which made heightfields non-reproducible across runs
+    digest = int.from_bytes(
+        hashlib.sha256(name.encode()).digest()[:4], "little")
+    key = jax.random.fold_in(jax.random.PRNGKey(seed), digest)
     tilt = np.deg2rad(3.0)
     if name == "flat":
         return False, None, (0.0, 0.0)
@@ -265,14 +306,18 @@ def eval_5k_matrix(policy_fn,
     fm = jnp.asarray(np.tile(foot_mass_scales, len(frictions)), jnp.float32)
     Bcell = fr.shape[0]
 
-    envs = {}   # (mission_name, hfield) -> env; python-level jit cache
+    envs = {}   # (mission_name, hfield) -> (env, jitted cell fn)
 
-    def run_cell(env, hf_table, euler, key):
+    def _make_cell_fn(env, needs_hf):
+        """One jitted program per (mission, hfield) env, with the
+        heightfield table and floor-tilt euler angles as TRACED arguments —
+        every terrain in the grid reuses the same compilation instead of
+        recompiling the full rollout per cell."""
         foot_ids = [env.model.body_id("left-foot"),
                     env.model.body_id("right-foot")]
         steps = min(max_steps, env.trajlen - 1)
 
-        def single(fric, fmass, k):
+        def single(fric, fmass, hf_table, ey, ex, k):
             k_reset, k_run = jax.random.split(k)
             state, obs = env.reset(k_reset)
             p = state.params
@@ -280,19 +325,20 @@ def eval_5k_matrix(policy_fn,
             for fid in foot_ids:
                 mass = mass.at[fid].multiply(fmass)
             p = p.replace(friction=p.friction * fric, body_mass=mass,
-                          floor_quat=euler2quat(z=jnp.zeros(()),
-                                                y=jnp.asarray(euler[0]),
-                                                x=jnp.asarray(euler[1])))
-            if hf_table is not None:
-                p = p.replace(hfield=jnp.asarray(hf_table, jnp.float32),
+                          floor_quat=euler2quat(z=jnp.zeros(()), y=ey, x=ex))
+            if needs_hf:
+                p = p.replace(hfield=hf_table,
                               hfield_active=jnp.ones(()))
             state = state.replace(params=p)
             _, _, fallen = _run_steps(env, policy_fn, state, obs, k_run,
                                       steps)
             return jnp.logical_not(fallen)
 
-        keys = jax.random.split(key, Bcell)
-        return np.asarray(jax.jit(jax.vmap(single))(fr, fm, keys))
+        return jax.jit(jax.vmap(single,
+                                in_axes=(0, 0, None, None, None, 0)))
+
+    dummy_hf = jnp.zeros_like(jnp.asarray(
+        _terrain_config("noise1", seed)[1], jnp.float32))
 
     for mi, mission in enumerate(missions):
         for si, speed in enumerate(mission_speeds):
@@ -301,11 +347,18 @@ def eval_5k_matrix(policy_fn,
                 needs_hf, table, euler = _terrain_config(terrain, seed)
                 ekey = (mname, needs_hf)
                 if ekey not in envs:
-                    envs[ekey] = CassiePlayground(
+                    env = CassiePlayground(
                         mission=mname, simrate=simrate, hfield=needs_hf)
+                    envs[ekey] = (env, _make_cell_fn(env, needs_hf))
+                _, cell_fn = envs[ekey]
                 key = jax.random.fold_in(
                     jax.random.PRNGKey(seed), mi * 1000 + si * 100 + ti)
-                cell = run_cell(envs[ekey], table, euler, key)
+                keys = jax.random.split(key, Bcell)
+                hf = (jnp.asarray(table, jnp.float32) if needs_hf
+                      else dummy_hf)
+                cell = np.asarray(cell_fn(
+                    fr, fm, hf, jnp.asarray(euler[0], jnp.float32),
+                    jnp.asarray(euler[1], jnp.float32), keys))
                 passed[mi, si, ti] = cell.reshape(len(frictions),
                                                   len(foot_mass_scales))
 

@@ -33,8 +33,12 @@ def _lib():
     global _LIB
     if _LIB is None:
         path = os.path.join(_NATIVE_DIR, "libapex_udp.so")
-        if not os.path.exists(path):
-            subprocess.check_call(["make", "-C", _NATIVE_DIR, "-s"])
+        src = os.path.join(_NATIVE_DIR, "cassie_udp.cpp")
+        stale = (not os.path.exists(path)
+                 or (os.path.exists(src)
+                     and os.path.getmtime(src) > os.path.getmtime(path)))
+        if stale:
+            subprocess.check_call(["make", "-C", _NATIVE_DIR, "-s", "-B"])
         lib = ctypes.CDLL(path)
         lib.apex_udp_init_host.restype = ctypes.c_int
         lib.apex_udp_init_host.argtypes = [ctypes.c_char_p, ctypes.c_uint16]
