@@ -41,6 +41,20 @@ from apex_tpu.agents.rollout import (
 )
 
 
+def _clipped_adam(learning_rate, max_grad_norm, eps):
+    return optax.chain(
+        optax.clip_by_global_norm(max_grad_norm),
+        optax.adam(learning_rate, eps=eps),
+    )
+
+
+def set_lr(opt_state, lr):
+    """Update the injected learning rate of an optimizer state in place
+    (no recompilation: lr is a traced leaf of the state pytree)."""
+    opt_state.hyperparams["learning_rate"] = jnp.asarray(lr, jnp.float32)
+    return opt_state
+
+
 @dataclasses.dataclass(frozen=True)
 class PPOConfig:
     """Static hyperparameters. Defaults = reference apex.py:230-250."""
@@ -90,14 +104,15 @@ class PPO:
 
     def __post_init__(self):
         cfg = self.config
-        self.actor_tx = optax.chain(
-            optax.clip_by_global_norm(cfg.max_grad_norm),
-            optax.adam(cfg.lr, eps=cfg.eps),
-        )
-        self.critic_tx = optax.chain(
-            optax.clip_by_global_norm(cfg.max_grad_norm),
-            optax.adam(cfg.lr, eps=cfg.eps),
-        )
+        # learning rate injected as a RUNTIME hyperparameter: lr sweeps and
+        # schedules (set_lr) reuse the same compiled train step instead of
+        # recompiling the fused program per constant
+        self.actor_tx = optax.inject_hyperparams(_clipped_adam)(
+            learning_rate=cfg.lr, max_grad_norm=cfg.max_grad_norm,
+            eps=cfg.eps)
+        self.critic_tx = optax.inject_hyperparams(_clipped_adam)(
+            learning_rate=cfg.lr, max_grad_norm=cfg.max_grad_norm,
+            eps=cfg.eps)
         if cfg.use_mirror and self.env.mirrored_obs is not None:
             self.obs_mirror = jnp.asarray(mirror_matrix(self.env.mirrored_obs))
             self.act_mirror = jnp.asarray(mirror_matrix(self.env.mirrored_acts))

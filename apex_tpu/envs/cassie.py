@@ -580,7 +580,15 @@ class CassieEnv(Env):
         obs, hist = self._build_obs(new_state, est)
         new_state = new_state.replace(obs_history=hist)
         info = {"l_foot_frc": l_foot_frc, "r_foot_frc": r_foot_frc,
-                "height": height}
+                "height": height,
+                # analysis-tool diagnostics (dead-code-eliminated when the
+                # caller drops info; reference tools/aslip_tests/*,
+                # vis_input_and_state.py)
+                "grf_seq": diag_seq.foot_frc_z,           # (simrate, 2)
+                "foot_pos": diag_last.foot_pos,           # (2, 3) world
+                "est_lfoot_pos": est.left_foot_position,
+                "est_rfoot_pos": est.right_foot_position,
+                "qpos": phys.qpos}
         return new_state, obs, reward, terminated, info
 
     # ------------------------------------------------------------------

@@ -453,7 +453,18 @@ class CassieTrajEnv(Env):
             prev_torque=diag_last.motor_torque)
         obs, hist = self._build_obs(new_state, est)
         new_state = new_state.replace(obs_history=hist)
-        return new_state, obs, reward, terminated, {}
+        # Diagnostics for the offline analysis tools (reference
+        # tools/aslip_tests/*: GRF profiles, foot placement, task-space
+        # tracking). Unused entries are dead-code-eliminated by XLA when the
+        # caller drops info (rollout_scan does), so training pays nothing.
+        info = {
+            "grf_seq": diag_seq.foot_frc_z,           # (simrate, 2) l/r Fz
+            "foot_pos": diag_last.foot_pos,           # (2, 3) world
+            "est_lfoot_pos": est.left_foot_position,  # pelvis-relative
+            "est_rfoot_pos": est.right_foot_position,
+            "qpos": phys.qpos,
+        }
+        return new_state, obs, reward, terminated, info
 
     # ------------------------------------------------------------------
     def _iros_reward(self, state: CassieTrajEnvState):
