@@ -127,3 +127,36 @@ def test_omniscient_appends_params():
                                np.asarray(s.params.dof_damping), rtol=1e-6)
     np.testing.assert_allclose(np.asarray(o[82:107]),
                                np.asarray(s.params.body_mass), rtol=1e-6)
+
+
+def test_firmware_estimator_lags_velocities():
+    """estimator="firmware" (VERDICT round-2 #6): the velocity observation
+    channels must report an EMA-lagged stream (smaller magnitude during a
+    transient than the exact state), physics itself unchanged."""
+    kw = dict(dynamics_randomization=False, reward="early_clock")
+    e_exact = CassieEnv(**kw)
+    e_fw = CassieEnv(estimator="firmware", **kw)
+    s0, _ = jax.jit(e_exact.reset)(jax.random.PRNGKey(0))
+    a = jnp.zeros(10)
+    k = jax.random.PRNGKey(1)
+    s1, o1, r1, _, _ = jax.jit(e_exact.step)(s0, a, k)
+    s2, o2, r2, _, _ = jax.jit(e_fw.step)(s0, a, k)
+    # identical physics: same qpos trajectory and same reward
+    np.testing.assert_allclose(np.asarray(s1.phys.qpos),
+                               np.asarray(s2.phys.qpos), rtol=1e-6)
+    np.testing.assert_allclose(float(r1), float(r2), rtol=1e-5)
+    # lagged velocity: pelvis z-velocity obs (index 17 of the full profile:
+    # 1 height + 4 orient + 10 motor_pos + tvel[2]) shrinks toward zero
+    # during the initial settling transient
+    assert abs(float(o2[17])) < abs(float(o1[17]))
+
+
+def test_firmware_estimator_noise_is_stochastic():
+    e = CassieEnv(dynamics_randomization=False, reward="early_clock",
+                  estimator="firmware", estimator_noise=0.05)
+    s0, _ = jax.jit(e.reset)(jax.random.PRNGKey(0))
+    a = jnp.zeros(10)
+    _, o1, _, _, _ = jax.jit(e.step)(s0, a, jax.random.PRNGKey(1))
+    _, o2, _, _, _ = jax.jit(e.step)(s0, a, jax.random.PRNGKey(2))
+    # same dynamics, different measurement noise on the velocity channels
+    assert float(jnp.abs(o1[15:18] - o2[15:18]).max()) > 1e-4
