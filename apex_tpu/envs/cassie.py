@@ -48,6 +48,7 @@ from apex_tpu.physics.cassie_sim import (
     PDCommand,
     cassie_model,
     estimate_state,
+    pd_scan,
     pd_substep,
     settle,
     static_diag,
@@ -396,92 +397,113 @@ class CassieEnv(Env):
         # velocity fields; "exact" mode reproduces the round-1/2 behavior)
         ema_alpha = float(np.exp(-m.timestep / self.estimator_tau))
 
-        def substep(carry, i):
-            phys, prev_foot, prev_tau, l_high, r_high, ema_v, ema_a = carry
-            phys, diag = pd_substep(m, state.params, phys, cmd)
-            ema_v = ema_alpha * ema_v + (1.0 - ema_alpha) * phys.qvel
-            ema_a = ema_alpha * ema_a + (1.0 - ema_alpha) * phys.qacc
-            foot_vel = (diag.foot_pos - prev_foot) / m.timestep  # (2, 3)
-            l_orient = 1.0 - jnp.dot(self._neutral_foot, diag.foot_quat[0]) ** 2
-            r_orient = 1.0 - jnp.dot(self._neutral_foot, diag.foot_quat[1]) ** 2
-            hiproll = (jnp.abs(phys.qvel[6]) + jnp.abs(phys.qvel[19])) / 3.0
-            hipyaw = jnp.abs(phys.qvel[7]) + jnp.abs(phys.qvel[20])
-            lz, rz = diag.foot_pos[0, 2], diag.foot_pos[1, 2]
-            l_frc, r_frc = diag.foot_frc_z[0], diag.foot_frc_z[1]
-
-            # swing-apex flag update (cassie_footdist_env.py:313-320)
-            l_high = jnp.where(l_high & (l_frc > 0), False,
-                               jnp.where(~l_high & (lz >= 0.19), True, l_high))
-            r_high = jnp.where(r_high & (r_frc > 0), False,
-                               jnp.where(~r_high & (rz >= 0.19), True, r_high))
-
-            l_ground = lz ** 2 + jnp.linalg.norm(foot_vel[0])
-            l_height = 40.0 * (des_height - lz) ** 2
-            r_ground = rz ** 2 + jnp.linalg.norm(foot_vel[1])
-            r_height = 40.0 * (des_height - rz) ** 2
-            l_smooth = zero2zero * l_height + one2one * l_ground
-            r_smooth = one2one * r_height + zero2zero * r_ground
-            # var quirk: one2one_var, zero2zero_var = 1, 0
-            # (cassie_mininput_env.py:420)
-            l_var = l_ground
-            r_var = r_height
-            l_clock_cost = l_gate * l_height + (1.0 - l_gate) * l_ground
-            r_clock_cost = r_gate * r_height + (1.0 - r_gate) * r_ground
-
-            # force/high-gated costs use des_height 0.2
-            # (cassie_footdist_env.py:343-387), incl. the upstream quirk of
-            # gating the LEFT lift branch on r_high (:361)
-            l_height2 = 40.0 * (0.2 - lz) ** 2
-            r_height2 = 40.0 * (0.2 - rz) ** 2
-            l_td = 40.0 * lz ** 2 * foot_vel[0, 2] ** 2
-            r_td = 40.0 * rz ** 2 * foot_vel[1, 2] ** 2
-            r_cost = jnp.where(l_frc == 0.0, r_ground,
-                               jnp.where(~r_high, r_height2, r_td))
-            l_cost = jnp.where(r_frc == 0.0, l_ground,
-                               jnp.where(~r_high, l_height2, l_td))
-            # phase-gated even costs (cassie_footdist_env.py:368-387)
-            l_even = jnp.where(first_half,
-                               jnp.where(~l_high, l_height2, l_td), l_ground)
-            r_even = jnp.where(first_half, r_ground,
-                               jnp.where(~r_high, r_height2, r_td))
-
-            # torque costs (cassie_mininput_env.py:512-521); the very first
-            # substep of an episode has no previous torque (prev_torque=None
-            # upstream) and contributes 0
-            tau = diag.motor_torque
-            have_prev = (state.time > 0) | (i > 0)
-            smooth = jnp.where(
-                have_prev,
-                1e-4 * jnp.linalg.norm(jnp.square(tau - prev_tau)), 0.0)
-            torque = 6e-5 * jnp.linalg.norm(jnp.square(tau))
-            l_rollyaw = zero2zero * 6e-3 * jnp.linalg.norm(
-                jnp.square(tau[jnp.asarray([0, 1])]))
-            r_rollyaw = one2one * 6e-3 * jnp.linalg.norm(
-                jnp.square(tau[jnp.asarray([5, 6])]))
-            pel_stable = 0.05 * (jnp.abs(phys.qvel[3:6]).sum()
-                                 + jnp.abs(phys.qacc[0:3]).sum())
-
-            track = (diag, foot_vel, l_orient, r_orient, hiproll, hipyaw,
-                     l_smooth, r_smooth, l_var, r_var, l_clock_cost,
-                     r_clock_cost, l_cost, r_cost, l_even, r_even,
-                     smooth, torque, l_rollyaw, r_rollyaw, pel_stable)
-            return (phys, diag.foot_pos, tau, l_high, r_high,
-                    ema_v, ema_a), track
-
-        prev_foot0 = static_diag(m, state.params, state.phys).foot_pos
-        (phys, _, _, l_high, r_high, ema_v, ema_a), track = jax.lax.scan(
-            substep,
-            (state.phys, prev_foot0, state.prev_torque, state.l_high,
-             state.r_high, state.phys.qvel, state.phys.qacc),
-            jnp.arange(self.simrate))
-        (diag_seq, foot_vel_seq, l_or, r_or, hiproll_seq, hipyaw_seq,
-         l_smooth_seq, r_smooth_seq, l_var_seq, r_var_seq, l_ck_seq,
-         r_ck_seq, l_cost_seq, r_cost_seq, l_even_seq, r_even_seq,
-         smooth_seq, torque_seq, l_ry_seq, r_ry_seq, pel_stable_seq) = track
+        # ---- fused 2 kHz loop: all simrate substeps in ONE pd_scan call
+        # (routed batch-last under vmap with the layout transposes hoisted
+        # out of the loop -- see cassie_sim.pd_scan); the reference's
+        # in-loop tracking (cassie.py:410-433, cassie_mininput_env.py:
+        # 418-521) is computed below on the stacked sequences with the
+        # same per-substep formulas and reduction order ----
+        phys, diag_seq, qvel_seq, qacc_seq = pd_scan(
+            m, state.params, state.phys, cmd, self.simrate)
         diag_last = jax.tree_util.tree_map(lambda x: x[-1], diag_seq)
+        L = self.simrate
 
-        l_foot_frc = diag_seq.foot_frc_z[:, 0].mean()
-        r_foot_frc = diag_seq.foot_frc_z[:, 1].mean()
+        # firmware-estimator EMA: closed form of the per-substep
+        # first-order filter e_t = a e_{t-1} + (1-a) v_t, i.e.
+        # e_L = a^L e_0 + (1-a) sum_t a^(L-1-t) v_t
+        w_ema = jnp.asarray(
+            (1.0 - ema_alpha) * ema_alpha ** np.arange(L - 1, -1, -1.0))
+        ema_v = ema_alpha ** L * state.phys.qvel + w_ema @ qvel_seq
+        ema_a = ema_alpha ** L * state.phys.qacc + w_ema @ qacc_seq
+
+        # position-difference foot velocities (reference cassie.py:330-331);
+        # prev_foot0 = FK of the pre-step state == the first substep's
+        # diag.foot_pos (StepOut.kin is the INPUT-qpos FK), so the first
+        # substep's finite difference is 0, as in the in-loop version
+        prev_foot0 = static_diag(m, state.params, state.phys).foot_pos
+        prev_pos_seq = jnp.concatenate(
+            [prev_foot0[None], diag_seq.foot_pos[:-1]])
+        foot_vel_seq = (diag_seq.foot_pos - prev_pos_seq) / m.timestep
+
+        fq = diag_seq.foot_quat                           # (L, 2, 4)
+        l_or = 1.0 - (fq[:, 0] @ self._neutral_foot) ** 2
+        r_or = 1.0 - (fq[:, 1] @ self._neutral_foot) ** 2
+        hiproll_seq = (jnp.abs(qvel_seq[:, 6])
+                       + jnp.abs(qvel_seq[:, 19])) / 3.0
+        hipyaw_seq = jnp.abs(qvel_seq[:, 7]) + jnp.abs(qvel_seq[:, 20])
+        lz, rz = diag_seq.foot_pos[:, 0, 2], diag_seq.foot_pos[:, 1, 2]
+        l_frc_seq = diag_seq.foot_frc_z[:, 0]
+        r_frc_seq = diag_seq.foot_frc_z[:, 1]
+
+        # swing-apex flags (cassie_footdist_env.py:313-320): the 1-bit
+        # recurrence h' = h ? ~a : b, solved in O(log L) by composing the
+        # per-substep transition functions (f(0), f(1)) associatively;
+        # yields the POST-update value at every substep, as in the loop
+        def flag_seq(init, a, b):
+            def comp(x, y):
+                return (jnp.where(x[0], y[1], y[0]),
+                        jnp.where(x[1], y[1], y[0]))
+
+            F0, F1 = jax.lax.associative_scan(comp, (b, ~a))
+            return jnp.where(init, F1, F0)
+
+        l_high_seq = flag_seq(state.l_high, l_frc_seq > 0, lz >= 0.19)
+        r_high_seq = flag_seq(state.r_high, r_frc_seq > 0, rz >= 0.19)
+        l_high, r_high = l_high_seq[-1], r_high_seq[-1]
+
+        l_ground = lz ** 2 + jnp.linalg.norm(foot_vel_seq[:, 0], axis=-1)
+        l_height = 40.0 * (des_height - lz) ** 2
+        r_ground = rz ** 2 + jnp.linalg.norm(foot_vel_seq[:, 1], axis=-1)
+        r_height = 40.0 * (des_height - rz) ** 2
+        l_smooth_seq = zero2zero * l_height + one2one * l_ground
+        r_smooth_seq = one2one * r_height + zero2zero * r_ground
+        # var quirk: one2one_var, zero2zero_var = 1, 0
+        # (cassie_mininput_env.py:420)
+        l_var_seq = l_ground
+        r_var_seq = r_height
+        l_ck_seq = l_gate * l_height + (1.0 - l_gate) * l_ground
+        r_ck_seq = r_gate * r_height + (1.0 - r_gate) * r_ground
+
+        # force/high-gated costs use des_height 0.2
+        # (cassie_footdist_env.py:343-387), incl. the upstream quirk of
+        # gating the LEFT lift branch on r_high (:361)
+        l_height2 = 40.0 * (0.2 - lz) ** 2
+        r_height2 = 40.0 * (0.2 - rz) ** 2
+        l_td = 40.0 * lz ** 2 * foot_vel_seq[:, 0, 2] ** 2
+        r_td = 40.0 * rz ** 2 * foot_vel_seq[:, 1, 2] ** 2
+        r_cost_seq = jnp.where(l_frc_seq == 0.0, r_ground,
+                               jnp.where(~r_high_seq, r_height2, r_td))
+        l_cost_seq = jnp.where(r_frc_seq == 0.0, l_ground,
+                               jnp.where(~r_high_seq, l_height2, l_td))
+        # phase-gated even costs (cassie_footdist_env.py:368-387)
+        l_even_seq = jnp.where(first_half,
+                               jnp.where(~l_high_seq, l_height2, l_td),
+                               l_ground)
+        r_even_seq = jnp.where(first_half, r_ground,
+                               jnp.where(~r_high_seq, r_height2, r_td))
+
+        # torque costs (cassie_mininput_env.py:512-521); the very first
+        # substep of an episode has no previous torque (prev_torque=None
+        # upstream) and contributes 0
+        tau_seq = diag_seq.motor_torque                   # (L, 10)
+        prev_tau_seq = jnp.concatenate(
+            [state.prev_torque[None], tau_seq[:-1]])
+        have_prev = jnp.concatenate(
+            [(state.time > 0)[None], jnp.ones((L - 1,), bool)])
+        smooth_seq = jnp.where(
+            have_prev,
+            1e-4 * jnp.linalg.norm(jnp.square(tau_seq - prev_tau_seq),
+                                   axis=-1), 0.0)
+        torque_seq = 6e-5 * jnp.linalg.norm(jnp.square(tau_seq), axis=-1)
+        l_ry_seq = zero2zero * 6e-3 * jnp.linalg.norm(
+            jnp.square(tau_seq[:, np.array([0, 1])]), axis=-1)
+        r_ry_seq = one2one * 6e-3 * jnp.linalg.norm(
+            jnp.square(tau_seq[:, np.array([5, 6])]), axis=-1)
+        pel_stable_seq = 0.05 * (jnp.abs(qvel_seq[:, 3:6]).sum(axis=-1)
+                                 + jnp.abs(qacc_seq[:, 0:3]).sum(axis=-1))
+
+        l_foot_frc = l_frc_seq.mean()
+        r_foot_frc = r_frc_seq.mean()
         l_foot_vel = foot_vel_seq[-1, 0]
         r_foot_vel = foot_vel_seq[-1, 1]
         l_orient_cost = l_or.mean()

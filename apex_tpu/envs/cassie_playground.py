@@ -25,7 +25,7 @@ from apex_tpu.physics.cassie_sim import (
     PDCommand,
     cassie_model,
     estimate_state,
-    pd_substep,
+    pd_scan,
     static_diag,
 )
 from apex_tpu.physics.engine import PhysParams
@@ -108,12 +108,9 @@ class CassiePlayground(Env):
         m = self.model
         cmd = PDCommand.from_targets(action + self._offset)
 
-        def substep(phys, _):
-            phys, diag = pd_substep(m, state.params, phys, cmd)
-            return phys, diag
-
-        phys, diag_seq = jax.lax.scan(substep, state.phys, None,
-                                      length=self.simrate)
+        # fused 2 kHz loop (batch-last under vmap, see cassie_sim.pd_scan)
+        phys, diag_seq, _, _ = pd_scan(
+            m, state.params, state.phys, cmd, self.simrate)
         diag = jax.tree_util.tree_map(lambda x: x[-1], diag_seq)
         est = estimate_state(m, phys, diag)
 

@@ -30,7 +30,7 @@ from apex_tpu.physics.cassie_sim import (
     PDCommand,
     cassie_model,
     estimate_state,
-    pd_substep,
+    pd_scan,
     static_diag,
 )
 from apex_tpu.physics.engine import PhysParams
@@ -93,12 +93,9 @@ class CassieStandingEnv(Env):
         m = self.model
         cmd = PDCommand.from_targets(action + self._offset)
 
-        def substep(phys, _):
-            phys, diag = pd_substep(m, self.params, phys, cmd)
-            return phys, diag
-
-        phys, diag_seq = jax.lax.scan(substep, state.phys, None,
-                                      length=self.simrate)
+        # fused 2 kHz loop (batch-last under vmap, see cassie_sim.pd_scan)
+        phys, diag_seq, _, _ = pd_scan(
+            m, self.params, state.phys, cmd, self.simrate)
         diag = jax.tree_util.tree_map(lambda x: x[-1], diag_seq)
         est = estimate_state(m, phys, diag)
 

@@ -50,7 +50,7 @@ from apex_tpu.physics.cassie_sim import (
     PDCommand,
     cassie_model,
     estimate_state,
-    pd_substep,
+    pd_scan,
     static_diag,
 )
 from apex_tpu.physics.engine import PhysParams
@@ -373,21 +373,21 @@ class CassieTrajEnv(Env):
         target = targets10 + offset - state.motor_enc_noise
         cmd = PDCommand.from_targets(target, p_gain, d_gain)
 
-        def substep(carry, _):
-            phys, prev_foot = carry
-            phys, diag = pd_substep(m, state.params, phys, cmd)
-            foot_vel = (diag.foot_pos - prev_foot) / m.timestep
-            l_orient = 1.0 - jnp.dot(self._neutral_foot, diag.foot_quat[0]) ** 2
-            r_orient = 1.0 - jnp.dot(self._neutral_foot, diag.foot_quat[1]) ** 2
-            hiproll = (jnp.abs(phys.qvel[6]) + jnp.abs(phys.qvel[19])) / 3.0
-            return (phys, diag.foot_pos), (diag, foot_vel, l_orient, r_orient,
-                                           hiproll)
-
-        prev_foot0 = static_diag(m, state.params, state.phys).foot_pos
-        (phys, _), (diag_seq, foot_vel_seq, l_or, r_or, hiproll_seq) = \
-            jax.lax.scan(substep, (state.phys, prev_foot0), None,
-                         length=self.simrate)
+        # fused 2 kHz loop (batch-last under vmap, see cassie_sim.pd_scan);
+        # tracking computed on the stacked sequences, same formulas as the
+        # old in-loop accumulation
+        phys, diag_seq, qvel_seq, _ = pd_scan(
+            m, state.params, state.phys, cmd, self.simrate)
         diag_last = jax.tree_util.tree_map(lambda x: x[-1], diag_seq)
+        prev_foot0 = static_diag(m, state.params, state.phys).foot_pos
+        prev_pos_seq = jnp.concatenate(
+            [prev_foot0[None], diag_seq.foot_pos[:-1]])
+        foot_vel_seq = (diag_seq.foot_pos - prev_pos_seq) / m.timestep
+        fq = diag_seq.foot_quat
+        l_or = 1.0 - (fq[:, 0] @ self._neutral_foot) ** 2
+        r_or = 1.0 - (fq[:, 1] @ self._neutral_foot) ** 2
+        hiproll_seq = (jnp.abs(qvel_seq[:, 6])
+                       + jnp.abs(qvel_seq[:, 19])) / 3.0
 
         time_ = state.time + 1
         phase = state.phase + 1.0

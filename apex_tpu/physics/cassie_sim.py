@@ -197,6 +197,183 @@ def pd_substep(model: PhysModel, params: PhysParams, state: CassiePhysState,
     return new_state, diag
 
 
+def pd_scan(model: PhysModel, params: PhysParams, phys: CassiePhysState,
+            cmd: PDCommand, length: int):
+    """`length` PD substeps (the 2 kHz control-step loop) in one call.
+
+    Returns (phys_final, diag_seq, qvel_seq, qacc_seq) where diag_seq
+    leaves carry a leading (length,) substep axis and qvel/qacc_seq are
+    (length, nv) -- the post-substep velocity/acceleration streams the env
+    tracking layer reduces (means, EMAs, recurrences).
+
+    Unbatched calls run the per-env `lax.scan` of `pd_substep`; under
+    `vmap` a custom batching rule reroutes the WHOLE loop through the
+    batch-last fleet pipeline with the layout transposes hoisted OUT of
+    the substep scan (the per-substep custom_vmap on engine.step paid a
+    full PhysParams transpose -- including the heightfield -- plus ~100
+    fragmented batch-first tracking kernels per substep; measured 14.7 ms
+    vs ~0.4 ms for this fused path at fleet 1024 on v5e).
+
+    Reference parity anchor: the simrate x cassie_sim_step_pd loop
+    (cassie.py:410-433, include/cassiemujoco.h:80)."""
+    import os
+
+    if os.environ.get("APEX_TPU_NO_FLEET", "") not in ("", "0"):
+        return _pd_scan_single(model, params, phys, cmd, length)
+    return _pd_scan_dispatch(model, length)(params, phys, cmd)
+
+
+def _pd_scan_single(model: PhysModel, params: PhysParams,
+                    phys: CassiePhysState, cmd: PDCommand, length: int):
+    def body(carry, _):
+        s, d = pd_substep(model, params, carry, cmd)
+        return s, (d, s.qvel, s.qacc)
+
+    phys_f, (diag_seq, qvel_seq, qacc_seq) = jax.lax.scan(
+        body, phys, None, length=length)
+    return phys_f, diag_seq, qvel_seq, qacc_seq
+
+
+def _pd_scan_dispatch(model: PhysModel, length: int):
+    cache = model.__dict__.get("_pd_scan_cv")
+    if cache is None:
+        cache = {}
+        object.__setattr__(model, "_pd_scan_cv", cache)
+    f = cache.get(length)
+    if f is not None:
+        return f
+
+    @jax.custom_batching.custom_vmap
+    def f(params, phys, cmd):
+        return _pd_scan_single(model, params, phys, cmd, length)
+
+    @f.def_vmap
+    def _rule(axis_size, in_batched, params, phys, cmd):
+        def bcast(x, b):
+            return x if b else jnp.broadcast_to(
+                jnp.asarray(x), (axis_size,) + jnp.shape(x))
+
+        params = jax.tree_util.tree_map(bcast, params, in_batched[0])
+        phys = jax.tree_util.tree_map(bcast, phys, in_batched[1])
+        cmd = jax.tree_util.tree_map(bcast, cmd, in_batched[2])
+        out = _fleet_pd_scan(model, params, phys, cmd, length)
+        return out, jax.tree_util.tree_map(lambda _: True, out)
+
+    cache[length] = f
+    return f
+
+
+def _fleet_pd_scan(model: PhysModel, params_b: PhysParams,
+                   phys_b: CassiePhysState, cmd_b: PDCommand, length: int):
+    """Batch-FIRST adapter: transpose once, scan `length` substeps fully
+    batch-last (PD law + fleet_step + diagnostics), transpose outputs
+    once. Numerics mirror `_pd_scan_single` (same op order per substep);
+    fleet-vs-per-env physics parity is pinned by tests/test_fleet_parity.py
+    and the pd_scan-level test in tests/test_cassie_env.py."""
+    import os
+
+    from apex_tpu.physics import fleet
+
+    to_bt = lambda x: jnp.moveaxis(x, 0, -1)
+    params_bt = jax.tree_util.tree_map(to_bt, params_b)
+    cmd_bt = jax.tree_util.tree_map(to_bt, cmd_b)       # leaves (10, B)
+    qpos0, qvel0 = to_bt(phys_b.qpos), to_bt(phys_b.qvel)
+
+    if (jax.default_backend() not in ("cpu", "gpu")
+            and os.environ.get("APEX_TPU_NO_MEGAKERNEL", "") in ("", "0")):
+        from apex_tpu.physics import fleet_kernel
+
+        if fleet_kernel.supported(model):
+            return _megakernel_pd_scan(model, params_bt, cmd_bt, qpos0,
+                                       qvel0, length)
+
+    gear = np.array([a.gear for a in model.actuators])[:, None]
+    lf, rf, _ = _foot_ids(model)
+    lcon, rcon = _contact_groups(model)
+    mq, mv = MOTOR_QPOS_IDX, MOTOR_QVEL_IDX
+
+    def body(carry, _):
+        qpos, qvel = carry
+        q = qpos[mq]                                     # (10, B)
+        qd = qvel[mv]
+        tau = (cmd_bt.p_gain * (cmd_bt.p_target - q)
+               + cmd_bt.d_gain * (cmd_bt.d_target - qd) + cmd_bt.ff_torque)
+        ctrl = tau / gear
+        dyn, contact, qpos2, qvel2, qacc2, act_torque = fleet.fleet_step(
+            model, params_bt, qpos, qvel, ctrl)
+        kin = dyn.kin
+        l_frc = sum(contact.force[i, 2] for i in lcon)   # (B,)
+        r_frc = sum(contact.force[i, 2] for i in rcon)
+        origin = kin.origin
+        foot_pos = jnp.stack([kin.xpos[lf] + origin,
+                              kin.xpos[rf] + origin])    # (2, 3, B)
+        foot_quat = fleet._mat2quat_bt(kin.ximat[np.array([lf, rf])])  # (2, 4, B)
+        l_vel = (contact.vel[lcon[0]] + contact.vel[lcon[1]]) / 2.0
+        r_vel = (contact.vel[rcon[0]] + contact.vel[rcon[1]]) / 2.0
+        toe_heel = jnp.stack([
+            jnp.stack([contact.force[lcon[0]], contact.force[lcon[1]]]),
+            jnp.stack([contact.force[rcon[0]], contact.force[rcon[1]]]),
+        ])                                               # (2, 2, 3, B)
+        diag = SubstepDiag(
+            foot_frc_z=jnp.stack([l_frc, r_frc]),
+            foot_pos=foot_pos,
+            foot_vel=jnp.stack([l_vel, r_vel]),
+            foot_quat=foot_quat,
+            toe_heel_force=toe_heel,
+            motor_torque=act_torque,
+        )
+        return (qpos2, qvel2), (diag, qvel2, qacc2)
+
+    (qpos_f, qvel_f), (diag_seq, qvel_seq, qacc_seq) = jax.lax.scan(
+        body, (qpos0, qvel0), None, length=length)
+
+    to_bf = lambda x: jnp.moveaxis(x, -1, 0)   # (L, ..., B) -> (B, L, ...)
+    phys_f = CassiePhysState(qpos=to_bf(qpos_f), qvel=to_bf(qvel_f),
+                             qacc=to_bf(qacc_seq[-1]))
+    return (phys_f,
+            jax.tree_util.tree_map(to_bf, diag_seq),
+            to_bf(qvel_seq), to_bf(qacc_seq))
+
+
+def _megakernel_pd_scan(model: PhysModel, params_bt: PhysParams,
+                        cmd_bt: PDCommand, qpos0: jnp.ndarray,
+                        qvel0: jnp.ndarray, length: int):
+    """Batch-last PD scan over the whole-substep Pallas kernel
+    (fleet_kernel.pallas_pd_substep): the entire physics pipeline --
+    FK, CRBA/RNEA, tree-sparse LTDL solves, contacts, loop-closure
+    impulses, PD law, integration -- runs as ONE program per substep
+    with all intermediates resident in VMEM/registers."""
+    from apex_tpu.physics import fleet_kernel
+
+    cmd_rows = jnp.concatenate([
+        cmd_bt.p_target, cmd_bt.d_target, cmd_bt.p_gain, cmd_bt.d_gain,
+        cmd_bt.ff_torque], axis=0)                       # (5*nu, B)
+
+    def body(carry, _):
+        qpos, qvel = carry
+        qpos2, qvel2, qacc2, diag_rows = fleet_kernel.pallas_pd_substep(
+            model, params_bt, qpos, qvel, cmd_rows)
+        diag = SubstepDiag(
+            foot_frc_z=diag_rows[0:2],
+            foot_pos=diag_rows[2:8].reshape(2, 3, -1),
+            foot_vel=diag_rows[8:14].reshape(2, 3, -1),
+            foot_quat=diag_rows[14:22].reshape(2, 4, -1),
+            toe_heel_force=diag_rows[22:34].reshape(2, 2, 3, -1),
+            motor_torque=diag_rows[34:34 + model.nu],
+        )
+        return (qpos2, qvel2), (diag, qvel2, qacc2)
+
+    (qpos_f, qvel_f), (diag_seq, qvel_seq, qacc_seq) = jax.lax.scan(
+        body, (qpos0, qvel0), None, length=length)
+
+    to_bf = lambda x: jnp.moveaxis(x, -1, 0)
+    phys_f = CassiePhysState(qpos=to_bf(qpos_f), qvel=to_bf(qvel_f),
+                             qacc=to_bf(qacc_seq[-1]))
+    return (phys_f,
+            jax.tree_util.tree_map(to_bf, diag_seq),
+            to_bf(qvel_seq), to_bf(qacc_seq))
+
+
 @struct.dataclass
 class CassieStateOut:
     """state_out_t equivalent (include/state_out_t.h:24-78), restricted to
@@ -250,9 +427,9 @@ def static_diag(model: PhysModel, params: PhysParams,
                 state: CassiePhysState) -> SubstepDiag:
     """FK-only diagnostics (no step): foot poses from kinematics, zero
     forces/velocities. Used at reset to populate the estimator."""
-    from apex_tpu.physics.engine import forward_kinematics
+    from apex_tpu.physics.engine import forward_kinematics_fleet
 
-    kin = forward_kinematics(model, params, state.qpos)
+    kin = forward_kinematics_fleet(model, params, state.qpos)
     lf, rf, _ = _foot_ids(model)
     origin = kin.origin
     return SubstepDiag(

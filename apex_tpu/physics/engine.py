@@ -315,6 +315,65 @@ def _spatial_inertia(mass, com, inertia_world) -> jnp.ndarray:
 
 def forward_kinematics(model: PhysModel, params: PhysParams,
                        qpos: jnp.ndarray) -> Kinematics:
+    """Position pass (public, differentiable per-env pipeline). For hot
+    vmapped FK-only paths (e.g. static_diag at env reset) use
+    `forward_kinematics_fleet`, which reroutes the whole fleet through the
+    batch-last FK under vmap -- the custom_vmap wrapper there does not
+    compose with autodiff, so this entry stays plain."""
+    return _forward_kinematics_single(model, params.body_ipos, qpos)
+
+
+def forward_kinematics_fleet(model: PhysModel, params: PhysParams,
+                             qpos: jnp.ndarray) -> Kinematics:
+    """forward_kinematics with a custom batching rule: under `vmap` the
+    whole fleet routes through the batch-last FK (fleet._fk_bt / the
+    Pallas kernel on TPU) -- the vmapped per-env lowering fragments the
+    26-body chain into ~100 tiny kernels. NOT differentiable (custom_vmap
+    has no JVP rule). Disable with APEX_TPU_NO_FLEET=1."""
+    import os
+
+    if os.environ.get("APEX_TPU_NO_FLEET", "") in ("", "0"):
+        return _fk_dispatch(model)(params.body_ipos, qpos)
+    return _forward_kinematics_single(model, params.body_ipos, qpos)
+
+
+def _fk_dispatch(model: PhysModel):
+    """Per-model custom_vmap wrapper for forward_kinematics (cached on the
+    model instance, like _Structure)."""
+    f = model.__dict__.get("_fk_cv")
+    if f is not None:
+        return f
+
+    @jax.custom_batching.custom_vmap
+    def f(body_ipos, qpos):
+        return _forward_kinematics_single(model, body_ipos, qpos)
+
+    @f.def_vmap
+    def _rule(axis_size, in_batched, body_ipos, qpos):
+        from apex_tpu.physics import fleet
+
+        def bcast(x, b):
+            return x if b else jnp.broadcast_to(
+                jnp.asarray(x), (axis_size,) + jnp.shape(x))
+
+        body_ipos = bcast(body_ipos, in_batched[0])
+        qpos = bcast(qpos, in_batched[1])
+        kin_bt = fleet._fk_bt(model, jnp.moveaxis(body_ipos, 0, -1),
+                              jnp.moveaxis(qpos, 0, -1))
+        xquat_bt = fleet._mat2quat_bt(kin_bt.ximat)
+        to_bf = lambda x: jnp.moveaxis(x, -1, 0)
+        out = Kinematics(
+            xpos=to_bf(kin_bt.xpos), xquat=to_bf(xquat_bt),
+            ximat=to_bf(kin_bt.ximat), xipos=to_bf(kin_bt.xipos),
+            cdof=to_bf(kin_bt.cdof), origin=to_bf(kin_bt.origin))
+        return out, jax.tree_util.tree_map(lambda _: True, out)
+
+    object.__setattr__(model, "_fk_cv", f)
+    return f
+
+
+def _forward_kinematics_single(model: PhysModel, body_ipos: jnp.ndarray,
+                               qpos: jnp.ndarray) -> Kinematics:
     """Position pass. Rotations are propagated as 3x3 matrices with
     constant-folded body frames and Rodrigues joint rotations
     (R_j = I + sin(t) K + (1 - cos(t)) K^2 with K the constant axis skew),
@@ -374,7 +433,7 @@ def forward_kinematics(model: PhysModel, params: PhysParams,
     xpos_a = jnp.stack(xpos)
     ximat = jnp.stack(xmat)
     xquat_a = mat2quat(ximat)
-    xipos = xpos_a + jnp.sum(ximat * params.body_ipos[..., None, :], axis=-1)
+    xipos = xpos_a + jnp.sum(ximat * body_ipos[..., None, :], axis=-1)
     return Kinematics(xpos=xpos_a, xquat=xquat_a, ximat=ximat, xipos=xipos,
                       cdof=jnp.stack(cdof_rows), origin=origin)
 

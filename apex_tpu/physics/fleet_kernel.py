@@ -1,0 +1,886 @@
+"""Whole-substep Pallas TPU kernel: one 2 kHz PD physics substep for a
+block of envs in ONE program.
+
+The XLA lowering of the batch-last fleet pipeline (physics/fleet.py) is
+HBM-bandwidth bound: every phase (spatial inertias, RNEA, CRBA, the
+Delassus contractions) materializes multi-MB (nb, 6, 6, B)-class
+intermediates between kernels -- measured 256 us/substep at fleet 1024 on
+v5e (tools/profile_fleet.py), ~95 us of which is the explicit Pallas
+Cholesky INVERSE of (M + hD) and ~160 us the rest of the pipeline.
+
+This module generates the entire substep as one Pallas program in the
+style of the FK kernel (fleet_fk.py): every intermediate is a (Bb,) lane
+vector living in registers/VMEM, phases chain with zero HBM traffic, and
+the dense linear algebra is replaced by TREE-SPARSE factorization:
+
+  * M is assembled only at its ~290 structurally nonzero (ancestor-pair)
+    entries instead of nv^2;
+  * (M + hD) is factorized as L^T D L (Featherstone's LTDL, RBDA table
+    A.1) which is FILL-IN FREE for tree-ordered kinematic matrices, so
+    the factor costs ~1.6k FMA instead of n^3/3 dense;
+  * every use of the old explicit inverse (free-acceleration solve,
+    per-contact-body spatial Delassus, equality-constraint Delassus,
+    joint-limit effective masses) becomes a sparse triangular solve
+    restricted to the ancestor support it actually needs.
+
+Numerics mirror fleet.fleet_step phase-for-phase (same formulas, same
+accumulation order within each phase; the solves replace inv(A) @ x with
+an algebraically identical factorization, so results agree to the same
+f32 reassociation noise the fleet-vs-per-env tests already allow).
+Heightfield terrain is NOT supported here (static plane/tilt only) --
+callers dispatch on model.enable_hfield.
+
+Reference parity anchor: cassie_sim_step_pd (include/cassiemujoco.h:80);
+see engine.py/fleet.py for per-phase citations.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+
+from apex_tpu.physics.spec import DOF_WIDTH, JointType, PhysModel
+
+BAUMGARTE_BETA = 0.2   # keep in sync with engine.BAUMGARTE_BETA
+
+
+# ---------------------------------------------------------------------------
+# static metadata
+# ---------------------------------------------------------------------------
+
+class _KernelMeta:
+    def __init__(self, model: PhysModel):
+        from apex_tpu.physics.engine import _Structure
+
+        st = _Structure.of(model)
+        self.st = st
+        nv, nb = model.nv, model.nbody
+        # ancestor dof lists (ascending, excluding self)
+        self.anc = [[w for w in range(d) if st.crba_mask[d, w] > 0]
+                    for d in range(nv)]
+        # per-body dof list (address order) and body ancestry dofs
+        self.body_dofs = []
+        for b in range(nb):
+            dofs = []
+            for jidx in model.body_joints[b]:
+                j = model.joints[jidx]
+                dofs.extend(range(j.dofadr, j.dofadr + DOF_WIDTH[j.jtype]))
+            self.body_dofs.append(dofs)
+        self.body_anc = [
+            [d for d in range(nv) if st.ancestor_mask[b, d] > 0]
+            for b in range(nb)]
+        self.children = [[] for _ in range(nb)]
+        for b in range(nb):
+            p = int(model.body_parent[b])
+            if p >= 0:
+                self.children[p].append(b)
+        self.dof_body = st.dof_body
+        # contact groups (cassie_sim._contact_groups semantics)
+        self.lcon = [i for i, c in enumerate(model.contacts) if c.group == 0]
+        self.rcon = [i for i, c in enumerate(model.contacts) if c.group == 1]
+        self.con_bodies = sorted(set(int(c.body) for c in model.contacts))
+        # actuator -> dof map
+        self.act_dof = [model.joints[a.joint].dofadr for a in model.actuators]
+
+
+# ---------------------------------------------------------------------------
+# kernel generator
+# ---------------------------------------------------------------------------
+
+def _gen_kernel(model: PhysModel, meta: _KernelMeta, with_pd: bool):
+    st = meta.st
+    nb, nv, nq, nu = model.nbody, model.nv, model.nq, model.nu
+    h = float(model.timestep)
+    tau_c = float(model.solref_timeconst)
+    zeta = float(model.solref_dampratio)
+    k_unit = 1.0 / (tau_c * tau_c * zeta * zeta)
+    b_unit = 2.0 / tau_c
+    grav = np.asarray(model.gravity, dtype=np.float64)
+
+    def kernel(qpos_ref, qvel_ref, cmd_ref, damp_ref, mass_ref, ipos_ref,
+               misc_ref, qpos_out, qvel_out, qacc_out, diag_out):
+        """Row layouts:
+          cmd_ref  (5*nu, Bb): [p_target, d_target, p_gain, d_gain, ff]
+                   (with_pd) or (nu, Bb) raw ctrl (not with_pd)
+          misc_ref (14, Bb): friction(1) floor_quat(4) floor_pos(3)
+                   ext_force(6)
+          diag_out (44, Bb): frc_z(2) foot_pos(6) foot_vel(6) foot_quat(8)
+                   toe_heel(12) motor_torque(10)
+        """
+        zero = jnp.zeros_like(qpos_ref[0])
+        one = jnp.ones_like(qpos_ref[0])
+
+        q = [qpos_ref[i] for i in range(nq)]
+        qd = [qvel_ref[i] for i in range(nv)]
+        damp = [damp_ref[i] for i in range(nv)]
+        fric = misc_ref[0]
+        fquat = [misc_ref[1 + i] for i in range(4)]
+        fpos = [misc_ref[5 + i] for i in range(3)]
+        ext = [misc_ref[8 + i] for i in range(6)]
+
+        def c(x):
+            return x * one if isinstance(x, float) else x
+
+        def cross(a, b):
+            return [a[1] * b[2] - a[2] * b[1],
+                    a[2] * b[0] - a[0] * b[2],
+                    a[0] * b[1] - a[1] * b[0]]
+
+        def dot3(a, b):
+            return a[0] * b[0] + a[1] * b[1] + a[2] * b[2]
+
+        def mat_mul_c(R, C):
+            out = [[None] * 3 for _ in range(3)]
+            for i in range(3):
+                for j in range(3):
+                    t = None
+                    for k in range(3):
+                        cc = float(C[k, j])
+                        if cc == 0.0:
+                            continue
+                        term = R[i][k] if cc == 1.0 else R[i][k] * cc
+                        t = term if t is None else t + term
+                    out[i][j] = zero if t is None else t
+            return out
+
+        def matvec_c(R, v):
+            out = [None] * 3
+            for i in range(3):
+                t = None
+                for k in range(3):
+                    cc = float(v[k])
+                    if cc == 0.0:
+                        continue
+                    term = R[i][k] if cc == 1.0 else R[i][k] * cc
+                    t = term if t is None else t + term
+                out[i] = zero if t is None else t
+            return out
+
+        # ---- actuation (PdInput + actuator clamp, engine order) ----
+        act_torque = [zero] * nu
+        qfrc_act = [None] * nv
+        if nu:
+            if with_pd:
+                # PD at the actuated joints (PdInput semantics); the
+                # actuator's joint qposadr/dofadr ARE cassie_sim's
+                # MOTOR_QPOS_IDX/MOTOR_QVEL_IDX for the Cassie model
+                mqpos = [model.joints[a.joint].qposadr
+                         for a in model.actuators]
+                mqvel = [model.joints[a.joint].dofadr
+                         for a in model.actuators]
+                for k in range(nu):
+                    pt = cmd_ref[k]
+                    dt = cmd_ref[nu + k]
+                    pg = cmd_ref[2 * nu + k]
+                    dg = cmd_ref[3 * nu + k]
+                    ff = cmd_ref[4 * nu + k]
+                    tau = (pg * (pt - q[mqpos[k]])
+                           + dg * (dt - qd[mqvel[k]]) + ff)
+                    g = float(st.act_gear[k])
+                    u = jnp.clip(tau / g, float(st.act_lo[k]),
+                                 float(st.act_hi[k]))
+                    act_torque[k] = g * u
+                    qfrc_act[meta.act_dof[k]] = act_torque[k]
+            else:
+                for k in range(nu):
+                    u = jnp.clip(cmd_ref[k], float(st.act_lo[k]),
+                                 float(st.act_hi[k]))
+                    act_torque[k] = float(st.act_gear[k]) * u
+                    qfrc_act[meta.act_dof[k]] = act_torque[k]
+
+        # ---- forward kinematics (fleet_fk._fk_kernel math) ----
+        origin = [q[0], q[1], q[2]] if nv >= 3 else [zero] * 3
+        xpos: List = [None] * nb
+        xmat: List = [None] * nb
+        cdof: List = [None] * nv     # 6-lists [ang(3), lin(3)]
+
+        for i in range(nb):
+            p = int(model.body_parent[i])
+            if p == -1:
+                bp = model.body_pos[i]
+                pos = [c(float(bp[k])) - origin[k] for k in range(3)]
+                C0 = st.body_rot[i]
+                R = [[c(float(C0[a, b_])) for b_ in range(3)]
+                     for a in range(3)]
+            else:
+                bp = model.body_pos[i]
+                pos = list(xpos[p])
+                for k in range(3):
+                    if bp[k] != 0.0:
+                        for a in range(3):
+                            pos[a] = pos[a] + xmat[p][a][k] * float(bp[k])
+                if st.body_rot_identity[i]:
+                    R = [r[:] for r in xmat[p]]
+                else:
+                    R = mat_mul_c(xmat[p], st.body_rot[i])
+
+            for jidx in model.body_joints[i]:
+                j = model.joints[jidx]
+                if j.jtype == JointType.SLIDE:
+                    axis_w = matvec_c(R, np.asarray(j.axis))
+                    t = q[j.qposadr] - j.ref
+                    pos = [pos[k] + axis_w[k] * t for k in range(3)]
+                    cdof[j.dofadr] = [zero, zero, zero] + axis_w
+                elif j.jtype == JointType.HINGE:
+                    axis_w = matvec_c(R, np.asarray(j.axis))
+                    angle = q[j.qposadr] - j.ref
+                    K, KK = st.joint_K[jidx]
+                    RK = mat_mul_c(R, K)
+                    RKK = mat_mul_c(R, KK)
+                    s = jnp.sin(angle)
+                    c1 = 1.0 - jnp.cos(angle)
+                    R = [[R[a][b_] + s * RK[a][b_] + c1 * RKK[a][b_]
+                          for b_ in range(3)] for a in range(3)]
+                    neg = [-pos[0], -pos[1], -pos[2]]
+                    cdof[j.dofadr] = axis_w + cross(axis_w, neg)
+                else:  # BALL
+                    qj = [q[j.qposadr + k] for k in range(4)]
+                    nrm = jax.lax.rsqrt(qj[0] * qj[0] + qj[1] * qj[1]
+                                        + qj[2] * qj[2] + qj[3] * qj[3])
+                    w, x, y, z = [qk * nrm for qk in qj]
+                    Rq = [
+                        [1 - 2 * (y * y + z * z), 2 * (x * y - w * z),
+                         2 * (x * z + w * y)],
+                        [2 * (x * y + w * z), 1 - 2 * (x * x + z * z),
+                         2 * (y * z - w * x)],
+                        [2 * (x * z - w * y), 2 * (y * z + w * x),
+                         1 - 2 * (x * x + y * y)],
+                    ]
+                    R = [[sum(R[a][k] * Rq[k][b_] for k in range(3))
+                          for b_ in range(3)] for a in range(3)]
+                    neg = [-pos[0], -pos[1], -pos[2]]
+                    for k in range(3):
+                        axis_w = [R[0][k], R[1][k], R[2][k]]
+                        cdof[j.dofadr + k] = axis_w + cross(axis_w, neg)
+            xpos[i], xmat[i] = pos, R
+
+        # xipos (per-env com offsets: dyn-rand body_ipos)
+        xipos = []
+        for i in range(nb):
+            ip = [ipos_ref[i * 3 + k] for k in range(3)]
+            xipos.append([xpos[i][a] + xmat[i][a][0] * ip[0]
+                          + xmat[i][a][1] * ip[1] + xmat[i][a][2] * ip[2]
+                          for a in range(3)])
+
+        # ---- velocity pass: body spatial velocities + cdof_dot ----
+        body_vel: List = [None] * nb     # 6-lists
+        cdof_dot: List = [None] * nv
+        for i in range(nb):
+            p = int(model.body_parent[i])
+            v = [zero] * 6 if p == -1 else list(body_vel[p])
+            for d in meta.body_dofs[i]:
+                # cdof_dot[d] = v_pre x cdof[d] (motion cross product)
+                w_, vl = v[:3], v[3:]
+                mw, ml = cdof[d][:3], cdof[d][3:]
+                cd = (cross(w_, mw)
+                      + [a + b_ for a, b_ in
+                         zip(cross(w_, ml), cross(vl, mw))])
+                cdof_dot[d] = cd
+                v = [v[k] + cdof[d][k] * qd[d] for k in range(6)]
+            body_vel[i] = v
+
+        # ---- spatial inertias about the origin (fleet order) ----
+        # I_world = R I0 R^T; CC = c c^T - |c|^2 I; upper_left =
+        # I_world - m CC; blocks [[UL, mC], [-mC, mI]]
+        I_sp: List = [None] * nb   # 6x6 lists
+        for i in range(nb):
+            I0 = np.asarray(model.body_inertia[i], dtype=np.float64)
+            R = xmat[i]
+            T = [[sum(R[a][k] * float(I0[k, b_]) for k in range(3)
+                      if I0[k, b_] != 0.0) if any(I0[k, b_] != 0.0
+                                                  for k in range(3)) else zero
+                  for b_ in range(3)] for a in range(3)]
+            Iw = [[sum(T[a][k] * R[b_][k] for k in range(3))
+                   for b_ in range(3)] for a in range(3)]
+            cc_ = xipos[i]
+            c2 = cc_[0] * cc_[0] + cc_[1] * cc_[1] + cc_[2] * cc_[2]
+            m = mass_ref[i]
+            A6 = [[None] * 6 for _ in range(6)]
+            for a in range(3):
+                for b_ in range(3):
+                    CCab = cc_[a] * cc_[b_] - (c2 if a == b_ else 0.0)
+                    A6[a][b_] = Iw[a][b_] - m * CCab
+            # skew(c)
+            C3 = [[zero, -cc_[2], cc_[1]],
+                  [cc_[2], zero, -cc_[0]],
+                  [-cc_[1], cc_[0], zero]]
+            for a in range(3):
+                for b_ in range(3):
+                    mC = m * C3[a][b_]
+                    A6[a][3 + b_] = mC
+                    A6[3 + a][b_] = -mC
+            for a in range(3):
+                for b_ in range(3):
+                    A6[3 + a][3 + b_] = m if a == b_ else zero
+            I_sp[i] = A6
+
+        def mat6vec(Ai, v):
+            return [sum(Ai[r][cl] * v[cl] for cl in range(6))
+                    for r in range(6)]
+
+        # ---- RNEA bias (qacc = 0, gravity as base acceleration) ----
+        a0 = [c(0.0)] * 3 + [c(-float(g)) for g in grav]
+        body_acc: List = [None] * nb
+        for i in range(nb):
+            p = int(model.body_parent[i])
+            a = a0[:] if p == -1 else list(body_acc[p])
+            for d in meta.body_dofs[i]:
+                a = [a[k] + cdof_dot[d][k] * qd[d] for k in range(6)]
+            body_acc[i] = a
+
+        body_frc: List = [None] * nb
+        for i in range(nb):
+            Iv = mat6vec(I_sp[i], body_vel[i])
+            Ia = mat6vec(I_sp[i], body_acc[i])
+            v = body_vel[i]
+            w_, vl = v[:3], v[3:]
+            tau3, F3 = Iv[:3], Iv[3:]
+            fcross = ([a + b_ for a, b_ in
+                       zip(cross(w_, tau3), cross(vl, F3))]
+                      + cross(w_, F3))
+            body_frc[i] = [Ia[k] + fcross[k] for k in range(6)]
+
+        # reverse accumulate subtree force sums, then project
+        F_acc = [list(body_frc[i]) for i in range(nb)]
+        for i in reversed(range(nb)):
+            p = int(model.body_parent[i])
+            if p >= 0:
+                for k in range(6):
+                    F_acc[p][k] = F_acc[p][k] + F_acc[i][k]
+        qfrc_bias = [None] * nv
+        for d in range(nv):
+            b_ = int(meta.dof_body[d])
+            qfrc_bias[d] = sum(cdof[d][k] * F_acc[b_][k] for k in range(6))
+
+        # ---- CRBA: composite inertias, sparse mass matrix ----
+        Ic = [[row[:] for row in I_sp[i]] for i in range(nb)]
+        for i in reversed(range(nb)):
+            p = int(model.body_parent[i])
+            if p >= 0:
+                for r in range(6):
+                    for cl in range(6):
+                        Ic[p][r][cl] = Ic[p][r][cl] + Ic[i][r][cl]
+        H = [mat6vec(Ic[int(meta.dof_body[d])], cdof[d]) for d in range(nv)]
+        A: Dict[Tuple[int, int], jnp.ndarray] = {}
+        for d in range(nv):
+            for w_ in meta.anc[d] + [d]:
+                A[(d, w_)] = sum(H[d][k] * cdof[w_][k] for k in range(6))
+            A[(d, d)] = (A[(d, d)] + float(model.dof_armature[d])
+                         + h * damp[d])
+
+        # ---- sparse LTDL factorization: A = L^T D L (RBDA table A.1;
+        # fill-in free on the tree ordering) ----
+        Lf: Dict[Tuple[int, int], jnp.ndarray] = {}
+        Dinv = [None] * nv
+        for k in reversed(range(nv)):
+            Dk = jnp.maximum(A[(k, k)], 1e-12)
+            Dinv[k] = 1.0 / Dk
+            for i in reversed(meta.anc[k]):
+                a_ = A[(k, i)] * Dinv[k]
+                for j in [i] + list(reversed(meta.anc[i])):
+                    A[(i, j)] = A[(i, j)] - a_ * A[(k, j)]
+                Lf[(k, i)] = a_
+
+        def solve(b: List[Optional[jnp.ndarray]],
+                  out_support: Optional[List[int]] = None
+                  ) -> List[Optional[jnp.ndarray]]:
+            """x = (M + hD)^-1 b via the LTDL factor. b entries may be
+            None (structural zero); the L pass is restricted to
+            out_support (must be ancestor-closed) when given."""
+            x = list(b)
+            for k in reversed(range(nv)):
+                if x[k] is None:
+                    continue
+                for i in meta.anc[k]:
+                    t = Lf[(k, i)] * x[k]
+                    x[i] = -t if x[i] is None else x[i] - t
+            for k in range(nv):
+                if x[k] is not None:
+                    x[k] = x[k] * Dinv[k]
+            ks = range(nv) if out_support is None else out_support
+            for k in ks:
+                acc = x[k]
+                for i in meta.anc[k]:
+                    if x[i] is not None:
+                        t = Lf[(k, i)] * x[i]
+                        acc = -t if acc is None else acc - t
+                x[k] = acc
+            if out_support is not None:
+                keep = set(out_support)
+                x = [x[k] if k in keep else None for k in range(nv)]
+            return x
+
+        # ---- contact forces (plane/tilt only; fleet formula order) ----
+        ez_rot = None
+        # n_w = rotate ez by floor_quat: v + 2(w (u x v) + u x (u x v))
+        uq = [fquat[1], fquat[2], fquat[3]]
+        vz = [zero, zero, one]
+        uv = cross(uq, vz)
+        uuv = cross(uq, uv)
+        n_w = [vz[k] + 2.0 * (fquat[0] * uv[k] + uuv[k]) for k in range(3)]
+        floor_p = [fpos[k] - origin[k] for k in range(3)]
+
+        qfrc_con = [None] * nv
+        ncon = len(model.contacts)
+        sphere_f: List = [None] * ncon      # world force 3-lists
+        sphere_vp: List = [None] * ncon
+        if ncon:
+            # per-contact-body spatial inverse inertia Lambda_b =
+            # S_b A^-1 S_b^T (6x6, symmetric)
+            Lam: Dict[int, List[List[jnp.ndarray]]] = {}
+            for ub in meta.con_bodies:
+                sup = meta.body_anc[ub]
+                ts = []
+                for r in range(6):
+                    b_vec: List[Optional[jnp.ndarray]] = [None] * nv
+                    for d in sup:
+                        b_vec[d] = cdof[d][r]
+                    ts.append(solve(b_vec, out_support=sup))
+                Lb = [[None] * 6 for _ in range(6)]
+                for r in range(6):
+                    for cl in range(r, 6):
+                        val = sum(ts[r][d] * cdof[d][cl] for d in sup)
+                        Lb[r][cl] = val
+                        Lb[cl][r] = val
+                Lam[ub] = Lb
+
+            Wb: Dict[int, List[jnp.ndarray]] = {
+                ub: [zero] * 6 for ub in meta.con_bodies}
+            for ci, con in enumerate(model.contacts):
+                cb = int(con.body)
+                p_ = [xpos[cb][a] + sum(xmat[cb][a][k]
+                                        * float(con.offset[k])
+                                        for k in range(3)
+                                        if con.offset[k] != 0.0)
+                      for a in range(3)]
+                depth = float(con.radius) - sum(
+                    (p_[k] - floor_p[k]) * n_w[k] for k in range(3))
+                bv = body_vel[cb]
+                v_p = [bv[3 + k] + cross(bv[:3], p_)[k] for k in range(3)]
+                sphere_vp[ci] = v_p
+
+                # G_c = Phi Lam Phi^T, Phi = [-skew(p) | I]
+                Lb = Lam[cb]
+                Laa = [[Lb[r][cl] for cl in range(3)] for r in range(3)]
+                Lal = [[Lb[r][3 + cl] for cl in range(3)] for r in range(3)]
+                Lll = [[Lb[3 + r][3 + cl] for cl in range(3)]
+                       for r in range(3)]
+
+                def skew_apply(pv, X):
+                    # (skew(p) X): row i of result = (p x X_col_j)_i
+                    out = [[None] * 3 for _ in range(3)]
+                    for jcol in range(3):
+                        col = [X[0][jcol], X[1][jcol], X[2][jcol]]
+                        cx = cross(pv, col)
+                        for r in range(3):
+                            out[r][jcol] = cx[r]
+                    return out
+
+                PLaa = [[-v for v in row] for row in skew_apply(p_, Laa)]
+                PLaaT = [[PLaa[cl][r] for cl in range(3)] for r in range(3)]
+                PLaaPT_t = [[-v for v in row]
+                            for row in skew_apply(p_, PLaaT)]
+                PLaaPT = [[PLaaPT_t[cl][r] for cl in range(3)]
+                          for r in range(3)]
+                PLal = [[-v for v in row] for row in skew_apply(p_, Lal)]
+                G = [[PLaaPT[r][cl] + PLal[r][cl] + PLal[cl][r]
+                      + Lll[r][cl] for cl in range(3)] for r in range(3)]
+
+                Gn = [sum(G[r][cl] * n_w[cl] for cl in range(3))
+                      for r in range(3)]
+                g_n = sum(n_w[r] * Gn[r] for r in range(3))
+                m_n = 1.0 / jnp.maximum(g_n, 1e-8)
+                vn = dot3(v_p, n_w)
+                fn = jnp.maximum(0.0, m_n * (k_unit * depth - b_unit * vn))
+                fn = jnp.where(depth > 0, fn, 0.0)
+
+                vt = [v_p[k] - vn * n_w[k] for k in range(3)]
+                vt_norm = jnp.sqrt(dot3(vt, vt)) + 1e-9
+                trG = G[0][0] + G[1][1] + G[2][2]
+                m_t = 1.0 / jnp.maximum((trG - g_n) / 2.0, 1e-8)
+                f_stick = m_t * vt_norm / (2.0 * h)
+                ft_mag = jnp.minimum(fric * fn, f_stick)
+                scale = ft_mag / vt_norm
+                f_ = [fn * n_w[k] - scale * vt[k] for k in range(3)]
+                sphere_f[ci] = f_
+
+                pxf = cross(p_, f_)
+                W = Wb[cb]
+                for k in range(3):
+                    W[k] = W[k] + pxf[k]
+                    W[3 + k] = W[3 + k] + f_[k]
+
+            for ub in meta.con_bodies:
+                W = Wb[ub]
+                for d in meta.body_anc[ub]:
+                    t = sum(cdof[d][k] * W[k] for k in range(6))
+                    qfrc_con[d] = t if qfrc_con[d] is None \
+                        else qfrc_con[d] + t
+
+        # ---- joint limit forces (diag of A^-1 via sparse solves) ----
+        qfrc_lim = [None] * nv
+        for li in range(len(st.lim_dof)):
+            d = int(st.lim_dof[li])
+            b_vec: List[Optional[jnp.ndarray]] = [None] * nv
+            b_vec[d] = one
+            xd = solve(b_vec, out_support=meta.anc[d] + [d])
+            m_eff = 1.0 / jnp.maximum(xd[d], 1e-8)
+            qj = q[int(st.lim_qadr[li])]
+            qdj = qd[d]
+            below = float(st.lim_lo[li]) - qj
+            above = qj - float(st.lim_hi[li])
+            f_lo = jnp.where(below > 0,
+                             m_eff * (k_unit * below - b_unit * qdj), 0.0)
+            f_hi = jnp.where(above > 0,
+                             m_eff * (k_unit * above + b_unit * qdj), 0.0)
+            f_ = jnp.maximum(f_lo, 0.0) - jnp.maximum(f_hi, 0.0)
+            qfrc_lim[d] = f_ if qfrc_lim[d] is None else qfrc_lim[d] + f_
+
+        # ---- springs ----
+        qfrc_spring = [None] * nv
+        for d in range(nv):
+            k_ = float(st.spring_k[d])
+            if k_ != 0.0:
+                qfrc_spring[d] = -k_ * q[int(st.spring_qadr[d])]
+
+        # ---- external wrench on the root body ----
+        qfrc_ext = [None] * nv
+        tau3, F3 = ext[:3], ext[3:]
+        w_ext = [tau3[k] + cross(xpos[0], F3)[k] for k in range(3)] + F3
+        for d in meta.body_anc[0]:
+            qfrc_ext[d] = sum(cdof[d][k] * w_ext[k] for k in range(6))
+
+        # ---- free acceleration + implicit damping solve ----
+        rhs: List[Optional[jnp.ndarray]] = [None] * nv
+        for d in range(nv):
+            t = -qfrc_bias[d] - damp[d] * qd[d]
+            for src in (qfrc_act[d], qfrc_spring[d], qfrc_con[d],
+                        qfrc_lim[d], qfrc_ext[d]):
+                if src is not None:
+                    t = t + src
+            rhs[d] = t
+        qacc_free = solve(rhs)
+        v_pred = [qd[d] + h * qacc_free[d] for d in range(nv)]
+
+        # ---- loop-closure equality impulses ----
+        if model.equalities:
+            ne = 3 * len(model.equalities)
+            J: List[Dict[int, jnp.ndarray]] = []
+            err: List[jnp.ndarray] = []
+            sup_union: List[int] = sorted(set(
+                d for eq in model.equalities
+                for d in (meta.body_anc[eq.body1]
+                          + meta.body_anc[eq.body2])))
+            for eq in model.equalities:
+                b1, b2 = eq.body1, eq.body2
+                p1 = [xpos[b1][a] + matvec_c(xmat[b1],
+                                             np.asarray(eq.anchor1))[a]
+                      for a in range(3)]
+                p2 = [xpos[b2][a] + matvec_c(xmat[b2],
+                                             np.asarray(eq.anchor2))[a]
+                      for a in range(3)]
+                err.extend([p1[k] - p2[k] for k in range(3)])
+                rows = [dict(), dict(), dict()]
+                for d in meta.body_anc[b1]:
+                    c1 = cross(cdof[d][:3], p1)
+                    for k in range(3):
+                        rows[k][d] = c1[k] + cdof[d][3 + k]
+                for d in meta.body_anc[b2]:
+                    c2 = cross(cdof[d][:3], p2)
+                    for k in range(3):
+                        v = c2[k] + cdof[d][3 + k]
+                        rows[k][d] = rows[k].get(d, zero) - v
+                J.extend(rows)
+
+            # G = J A^-1 J^T via ne sparse solves
+            tsol = []
+            for krow in range(ne):
+                b_vec = [None] * nv
+                for d, v in J[krow].items():
+                    b_vec[d] = v
+                tsol.append(solve(b_vec, out_support=sup_union))
+            G = [[None] * ne for _ in range(ne)]
+            for r in range(ne):
+                for cl in range(r, ne):
+                    val = sum(tsol[r][d] * v for d, v in J[cl].items())
+                    G[r][cl] = val
+                    G[cl][r] = val
+
+            dnorm = [jax.lax.rsqrt(G[r][r] + 1e-12) for r in range(ne)]
+            Gs = [[dnorm[r] * G[r][cl] * dnorm[cl]
+                   + (1e-6 if r == cl else 0.0)
+                   for cl in range(ne)] for r in range(ne)]
+            rhs_e = []
+            for r in range(ne):
+                jv = sum(J[r][d] * v_pred[d] for d in J[r])
+                rhs_e.append(-(jv + (BAUMGARTE_BETA / h) * err[r]))
+            rhs_s = [dnorm[r] * rhs_e[r] for r in range(ne)]
+
+            # dense Cholesky with pivot floor (fleet._chol_solve_bt)
+            Lc = [[None] * ne for _ in range(ne)]
+            for jcol in range(ne):
+                s = Gs[jcol][jcol]
+                for p_ in range(jcol):
+                    s = s - Lc[jcol][p_] * Lc[jcol][p_]
+                dpv = jnp.sqrt(jnp.maximum(s, 1e-4))
+                Lc[jcol][jcol] = dpv
+                for i in range(jcol + 1, ne):
+                    r_ = Gs[i][jcol]
+                    for p_ in range(jcol):
+                        r_ = r_ - Lc[i][p_] * Lc[jcol][p_]
+                    Lc[i][jcol] = r_ / dpv
+            y = [None] * ne
+            for i in range(ne):
+                r_ = rhs_s[i]
+                for p_ in range(i):
+                    r_ = r_ - Lc[i][p_] * y[p_]
+                y[i] = r_ / Lc[i][i]
+            lam = [None] * ne
+            for i in reversed(range(ne)):
+                r_ = y[i]
+                for p_ in range(i + 1, ne):
+                    r_ = r_ - Lc[p_][i] * lam[p_]
+                lam[i] = r_ / Lc[i][i]
+            lam = [dnorm[r] * lam[r] for r in range(ne)]
+
+            jt_lam: List[Optional[jnp.ndarray]] = [None] * nv
+            for r in range(ne):
+                for d, v in J[r].items():
+                    t = v * lam[r]
+                    jt_lam[d] = t if jt_lam[d] is None else jt_lam[d] + t
+            dv = solve(jt_lam)
+            new_qvel = [v_pred[d] + (dv[d] if dv[d] is not None else zero)
+                        for d in range(nv)]
+        else:
+            new_qvel = v_pred
+
+        qacc = [(new_qvel[d] - qd[d]) / h for d in range(nv)]
+
+        # ---- integrate qpos ----
+        new_q = list(q)
+        for idx in range(len(st.lin_dof)):
+            d = int(st.lin_dof[idx])
+            qa = int(st.lin_qadr[idx])
+            new_q[qa] = q[qa] + h * new_qvel[d]
+        for qadr, dofadr in st.balls:
+            quat = [q[qadr + k] for k in range(4)]
+            om = [new_qvel[dofadr + k] for k in range(3)]
+            ang = jnp.sqrt(om[0] * om[0] + om[1] * om[1]
+                           + om[2] * om[2]) * h
+            half = 0.5 * ang
+            small = ang < 1e-8
+            kf = jnp.where(small, 0.5 * h,
+                           jnp.sin(half) * h / jnp.where(small, 1.0, ang))
+            dq = [jnp.cos(half)] + [om[k] * kf for k in range(3)]
+            w1, x1, y1, z1 = quat
+            w2, x2, y2, z2 = dq
+            out_q = [
+                w1 * w2 - x1 * x2 - y1 * y2 - z1 * z2,
+                w1 * x2 + x1 * w2 + y1 * z2 - z1 * y2,
+                w1 * y2 - x1 * z2 + y1 * w2 + z1 * x2,
+                w1 * z2 + x1 * y2 - y1 * x2 + z1 * w2,
+            ]
+            qn = jax.lax.rsqrt(sum(v * v for v in out_q))
+            for k in range(4):
+                new_q[qadr + k] = out_q[k] * qn
+
+        # ---- outputs ----
+        for i in range(nq):
+            qpos_out[i] = new_q[i]
+        for d in range(nv):
+            qvel_out[d] = new_qvel[d]
+            qacc_out[d] = qacc[d]
+
+        # diag rows (cassie_sim.pd_substep semantics). Foot indices exist
+        # only for models that define them; guard for generic models.
+        try:
+            lf = model.body_id("left-foot")
+            rf = model.body_id("right-foot")
+        except Exception:
+            lf = rf = None
+        if lf is not None and meta.lcon and meta.rcon:
+            l_frc = sum(sphere_f[i][2] for i in meta.lcon)
+            r_frc = sum(sphere_f[i][2] for i in meta.rcon)
+            diag_out[0] = l_frc
+            diag_out[1] = r_frc
+            for k in range(3):
+                diag_out[2 + k] = xpos[lf][k] + origin[k]
+                diag_out[5 + k] = xpos[rf][k] + origin[k]
+            l_vel = [(sphere_vp[meta.lcon[0]][k]
+                      + sphere_vp[meta.lcon[1]][k]) / 2.0 for k in range(3)]
+            r_vel = [(sphere_vp[meta.rcon[0]][k]
+                      + sphere_vp[meta.rcon[1]][k]) / 2.0 for k in range(3)]
+            for k in range(3):
+                diag_out[8 + k] = l_vel[k]
+                diag_out[11 + k] = r_vel[k]
+
+            # foot quats: branch-free max-trace mat2quat
+            def mat2quat(Rm):
+                m00, m01, m02 = Rm[0]
+                m10, m11, m12 = Rm[1]
+                m20, m21, m22 = Rm[2]
+                tr = m00 + m11 + m22
+                qw0 = jnp.sqrt(jnp.clip(1.0 + tr, 1e-12)) / 2.0
+                q0 = [qw0, (m21 - m12) / (4 * qw0),
+                      (m02 - m20) / (4 * qw0), (m10 - m01) / (4 * qw0)]
+                s1 = jnp.sqrt(jnp.clip(1.0 + m00 - m11 - m22, 1e-12)) * 2.0
+                q1 = [(m21 - m12) / s1, s1 / 4.0, (m01 + m10) / s1,
+                      (m02 + m20) / s1]
+                s2 = jnp.sqrt(jnp.clip(1.0 - m00 + m11 - m22, 1e-12)) * 2.0
+                q2 = [(m02 - m20) / s2, (m01 + m10) / s2, s2 / 4.0,
+                      (m12 + m21) / s2]
+                s3 = jnp.sqrt(jnp.clip(1.0 - m00 - m11 + m22, 1e-12)) * 2.0
+                q3 = [(m10 - m01) / s3, (m02 + m20) / s3,
+                      (m12 + m21) / s3, s3 / 4.0]
+                c0 = tr > 0.0
+                c1_ = (m00 >= m11) & (m00 >= m22)
+                c2_ = m11 >= m22
+                qq = [jnp.where(c0, q0[k],
+                                jnp.where(c1_, q1[k],
+                                          jnp.where(c2_, q2[k], q3[k])))
+                      for k in range(4)]
+                qn = jax.lax.rsqrt(sum(v * v for v in qq))
+                qq = [v * qn for v in qq]
+                neg = qq[0] < 0
+                return [jnp.where(neg, -v, v) for v in qq]
+
+            ql = mat2quat(xmat[lf])
+            qr = mat2quat(xmat[rf])
+            for k in range(4):
+                diag_out[14 + k] = ql[k]
+                diag_out[18 + k] = qr[k]
+            # toe/heel world forces: [l_toe, l_heel, r_toe, r_heel]
+            th = [meta.lcon[0], meta.lcon[1], meta.rcon[0], meta.rcon[1]]
+            for s_, ci in enumerate(th):
+                for k in range(3):
+                    diag_out[22 + 3 * s_ + k] = sphere_f[ci][k]
+        else:
+            for r in range(34):
+                diag_out[r] = zero
+        for k in range(nu):
+            diag_out[34 + k] = act_torque[k]
+        for k in range(nu, 10):
+            diag_out[34 + k] = zero
+
+    return kernel
+
+
+# ---------------------------------------------------------------------------
+# host-side wrapper
+# ---------------------------------------------------------------------------
+
+DIAG_ROWS = 44
+
+
+def _meta_of(model: PhysModel) -> _KernelMeta:
+    m = model.__dict__.get("_kernel_meta")
+    if m is None:
+        m = _KernelMeta(model)
+        object.__setattr__(model, "_kernel_meta", m)
+    return m
+
+
+def supported(model: PhysModel) -> bool:
+    """The kernel handles plane/tilt ground only (no heightfield)."""
+    return not model.enable_hfield
+
+
+class _RowsRef:
+    """List-of-rows shim emulating a pallas ref for the emulate path."""
+
+    def __init__(self, rows_or_array):
+        if isinstance(rows_or_array, int):
+            self.rows = [None] * rows_or_array
+        else:
+            self.rows = [rows_or_array[i]
+                         for i in range(rows_or_array.shape[0])]
+
+    def __getitem__(self, i):
+        return self.rows[i]
+
+    def __setitem__(self, i, v):
+        self.rows[i] = v
+
+    def stack(self):
+        return jnp.stack(self.rows)
+
+
+def emulated_pd_substep(model: PhysModel, params_bt, qpos: jnp.ndarray,
+                        qvel: jnp.ndarray, cmd_rows: jnp.ndarray):
+    """Run the generated kernel body on plain arrays (no pallas): the
+    same math through XLA's normal lowering. Used for CPU correctness
+    tests of the kernel generator (interpret mode is impractically slow
+    at this op count)."""
+    meta = _meta_of(model)
+    nq, nv, nb = model.nq, model.nv, model.nbody
+    kernel = _gen_kernel(model, meta, with_pd=True)
+    B = qpos.shape[-1]
+    misc = jnp.concatenate([
+        params_bt.friction[None] * jnp.ones((1, B), qpos.dtype),
+        params_bt.floor_quat, params_bt.floor_pos, params_bt.ext_force,
+    ], axis=0)
+    outs = [_RowsRef(nq), _RowsRef(nv), _RowsRef(nv), _RowsRef(DIAG_ROWS)]
+    kernel(_RowsRef(qpos), _RowsRef(qvel), _RowsRef(cmd_rows),
+           _RowsRef(params_bt.dof_damping), _RowsRef(params_bt.body_mass),
+           _RowsRef(params_bt.body_ipos.reshape(nb * 3, B)),
+           _RowsRef(misc), *outs)
+    return tuple(o.stack() for o in outs)
+
+
+def pallas_pd_substep(model: PhysModel, params_bt, qpos: jnp.ndarray,
+                      qvel: jnp.ndarray, cmd_rows: jnp.ndarray,
+                      block_b: int = 1024, interpret: bool = False):
+    """One PD substep for the whole fleet, batch-last.
+
+    qpos (nq, B), qvel (nv, B), cmd_rows (5*nu, B) stacked
+    [p_target; d_target; p_gain; d_gain; ff_torque]; params_bt is a
+    batch-last PhysParams. Returns (qpos2, qvel2, qacc, diag (44, B))."""
+    meta = _meta_of(model)
+    nq, nv, nb, nu = model.nq, model.nv, model.nbody, model.nu
+    B = qpos.shape[-1]
+    block = min(block_b, B)
+    pad = (-B) % block
+
+    misc = jnp.concatenate([
+        params_bt.friction[None] * jnp.ones((1, B), qpos.dtype),
+        params_bt.floor_quat,
+        params_bt.floor_pos,
+        params_bt.ext_force,
+    ], axis=0)
+    ipos_flat = params_bt.body_ipos.reshape(nb * 3, B)
+    args = [qpos, qvel, cmd_rows, params_bt.dof_damping,
+            params_bt.body_mass, ipos_flat, misc]
+    if pad:
+        args = [jnp.concatenate(
+            [x, jnp.broadcast_to(x[:, :1], (x.shape[0], pad))], axis=-1)
+            for x in args]
+    Bp = args[0].shape[-1]
+
+    out_shapes = (
+        jax.ShapeDtypeStruct((nq, Bp), qpos.dtype),
+        jax.ShapeDtypeStruct((nv, Bp), qpos.dtype),
+        jax.ShapeDtypeStruct((nv, Bp), qpos.dtype),
+        jax.ShapeDtypeStruct((DIAG_ROWS, Bp), qpos.dtype),
+    )
+    spec = lambda rows: pl.BlockSpec((rows, block), lambda i: (0, i))
+    kernel = model.__dict__.get("_pd_kernel")
+    if kernel is None:
+        kernel = _gen_kernel(model, meta, with_pd=True)
+        object.__setattr__(model, "_pd_kernel", kernel)
+    in_rows = [nq, nv, 5 * nu, nv, nb, nb * 3, 14]
+    qpos2, qvel2, qacc, diag = pl.pallas_call(
+        kernel,
+        out_shape=out_shapes,
+        grid=(Bp // block,),
+        in_specs=[spec(r) for r in in_rows],
+        out_specs=(spec(nq), spec(nv), spec(nv), spec(DIAG_ROWS)),
+        interpret=interpret,
+    )(*args)
+    if pad:
+        qpos2, qvel2, qacc, diag = (x[:, :B]
+                                    for x in (qpos2, qvel2, qacc, diag))
+    return qpos2, qvel2, qacc, diag
