@@ -174,8 +174,30 @@ def main():
         parser.add_argument("--compare_to", type=str, default=None,
                             help="second run dir for --suite compare")
         parser.add_argument("--mission", type=str, default="default")
+        parser.add_argument("--drive", type=str, default=None,
+                            help="timed key-command script (JSON list of "
+                                 "[step, key]); the scripted equivalent of "
+                                 "the reference's interactive keyboard eval")
+        parser.add_argument("--drive_steps", type=int, default=300)
         args = parser.parse_args()
         from apex_tpu.runtime.evaluate import dump_gait, eval_checkpoint
+
+        if args.drive:
+            import numpy as np
+
+            from apex_tpu.runtime.drive import drive_policy
+            from apex_tpu.runtime.evaluate import load_experiment
+
+            ppo, state, _ = load_experiment(args.path)
+            res = drive_policy(state.actor, state.norm, ppo.env, args.drive,
+                               n_steps=args.drive_steps)
+            print(f"eval reward: {float(res['eval_reward']):.2f}  "
+                  f"(steps {args.drive_steps}, falls "
+                  f"{int(res['done'].sum())})")
+            if args.out:
+                np.savez(args.out, **res)
+                print("telemetry:", args.out)
+            return
 
         if args.suite:
             from apex_tpu.runtime import eval_suites, report

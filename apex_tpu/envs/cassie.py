@@ -140,6 +140,9 @@ class CassieEnvState:
     # across policy steps for the force/phase-gated foot costs
     l_high: jnp.ndarray = False
     r_high: jnp.ndarray = False
+    # per-step phase increment (reference cassie.py phase_add; the
+    # interactive eval's j/h keys adjust gait frequency through it)
+    phase_add: jnp.ndarray = 1.0
 
 
 @dataclasses.dataclass
@@ -347,6 +350,7 @@ class CassieEnv(Env):
             prev_torque=jnp.zeros(10),
             obs_history=jnp.zeros((self.history + 1, self._base_obs)),
             l_high=jnp.zeros((), bool), r_high=jnp.zeros((), bool),
+            phase_add=jnp.ones(()),
         )
         # populate the estimator from FK (reference reset ends with one
         # step_pd to refresh cassie_state, cassie.py:665)
@@ -512,7 +516,7 @@ class CassieEnv(Env):
 
         # ---- phase advance (cassie.py:447-453) ----
         time_ = state.time + 1
-        phase = state.phase + 1.0
+        phase = state.phase + state.phase_add
         wrapped = phase > state.clock.phaselen
         counter = state.counter + wrapped.astype(jnp.int32)
         phase = jnp.where(wrapped, 0.0, phase)

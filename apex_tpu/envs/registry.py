@@ -48,4 +48,13 @@ def env_factory(env_name: str, **kwargs) -> Env:
         return Walker2dEnv()
     if name in ("pointmass-v0", "pointmass"):
         return PointMassEnv()
-    raise ValueError(f"unknown environment: {env_name}")
+    # Deliberate divergence from the reference (util/env.py:56-65): there,
+    # unknown names fall back to the gym registry and return arbitrary
+    # gym envs. Gym envs are host-side stateful objects that cannot run
+    # inside the jitted on-device fleet (no pure (state, action, rng) ->
+    # (state, obs, ...) step), so this factory is a closed registry; new
+    # envs join by implementing envs.base.Env (see walker2d.py for the
+    # pattern -- the reference's only documented gym use case).
+    raise ValueError(
+        f"unknown environment: {env_name} (no gym fallback -- see "
+        "env_factory docstring; implement envs.base.Env instead)")

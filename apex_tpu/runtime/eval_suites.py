@@ -18,6 +18,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from apex_tpu.envs.cassie import CassieEnv, CassieEnvState
+from apex_tpu.utils.quaternion import quat2euler
 
 
 def _run_steps(env, policy_fn, state, obs, rng, n_steps):
@@ -191,14 +192,39 @@ def eval_mission(policy_fn, mission: str = "default", simrate: int = 60,
         action = policy_fn(ob)
         st2, ob2, _r, term, _ = env.step(st, action, key)
         progress = jnp.where(fallen, progress, st2.command_counter)
-        return (st2, ob2, fallen | term, progress), None
+        # per-step command-tracking errors (reference eval_mission.py:69-82:
+        # pos/speed/orient deviation logged per step until the fall)
+        qpos, qvel = st2.phys.qpos, st2.phys.qvel
+        cc = st2.command_counter
+        pos_err = jnp.linalg.norm(
+            qpos[0:2] - (env._cmd_pos[cc, 0:2] + st2.last_position[0:2]))
+        speed_err = jnp.abs(jnp.linalg.norm(qvel[0:2])
+                            - env._cmd_speed[cc])
+        yaw = quat2euler(qpos[3:7])[2]
+        orient_err = jnp.abs(yaw - env._cmd_orient[cc])
+        alive = jnp.logical_not(fallen | term)
+        errs = (pos_err, speed_err, orient_err, alive)
+        return (st2, ob2, fallen | term, progress), errs
 
     keys = jax.random.split(jax.random.PRNGKey(seed + 1), steps)
-    (state, obs, fallen, progress), _ = jax.jit(
+    (state, obs, fallen, progress), (pos_e, spd_e, ori_e, alive) = jax.jit(
         lambda c, k: jax.lax.scan(body, c, k))(
         (state, obs, jnp.zeros((), bool), jnp.zeros((), jnp.int32)), keys)
+    alive = np.asarray(alive)
+    n_alive = max(int(alive.sum()), 1)
+    mask = alive.astype(np.float64)
     return {"success": bool(~fallen), "progress": int(progress),
-            "total": steps}
+            "total": steps,
+            # per-step error traces over the alive prefix + summary stats
+            # (reference plot_mission_data consumes exactly these columns)
+            "pos_error": np.asarray(pos_e), "speed_error": np.asarray(spd_e),
+            "orient_error": np.asarray(ori_e), "alive": alive,
+            "avg_pos_error": float((np.asarray(pos_e) * mask).sum()
+                                   / n_alive),
+            "avg_speed_error": float((np.asarray(spd_e) * mask).sum()
+                                     / n_alive),
+            "avg_orient_error": float((np.asarray(ori_e) * mask).sum()
+                                      / n_alive)}
 
 
 def eval_sensitivity(env_base, policy_fn, param: str = "friction",

@@ -103,3 +103,36 @@ def test_pdf_reports(tmp_path):
     import os
     for p in (p1, p2, p3):
         assert os.path.getsize(p) > 1000
+
+
+def test_scripted_drive(tmp_path):
+    """Scripted command-driving eval (runtime/drive.py): the reference's
+    interactive keyboard protocol (util/eval.py:110-166) applied from a
+    timed script -- commands must land at their steps and telemetry must
+    record them."""
+    import json
+
+    from apex_tpu.runtime.drive import drive_policy
+
+    env = CassieEnv(dynamics_randomization=False, reward="early_clock")
+    actor = GaussianFFActor.init(jax.random.PRNGKey(2),
+                                 env.observation_size, env.action_size,
+                                 fixed_std=0.1)
+    norm = NormState.create(env.observation_size)
+
+    script = [[2, "w"], [2, "w"], [4, "k"], [5, "j"], [6, "p"], [8, "r"]]
+    path = tmp_path / "drive.json"
+    path.write_text(json.dumps(script))
+    res = drive_policy(actor, norm, env, str(path), n_steps=10, seed=0,
+                       start_speed=0.0)
+    assert res["qpos"].shape == (10, 35)
+    # two 'w' presses at step 2: speed 0.0 -> 0.2 from step 2 on
+    np.testing.assert_allclose(res["speed"][0], 0.0, atol=1e-6)
+    np.testing.assert_allclose(res["speed"][2:7], 0.2, atol=1e-6)
+    # 'k' at 4 bumps orient_add by +0.1 (random in-episode drift is rare:
+    # p=1/300 per step, seeds here do not hit it)
+    assert res["orient_add"][4] > 0.09
+    # 'j' at 5 raises phase_add to 1.1
+    np.testing.assert_allclose(res["phase_add"][5:7], 1.1, atol=1e-6)
+    # 'r' at 8 resets: phase_add back to 1.0, speed re-randomized
+    np.testing.assert_allclose(res["phase_add"][8:], 1.0, atol=1e-6)
