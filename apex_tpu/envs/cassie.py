@@ -164,6 +164,12 @@ class CassieEnv(Env):
     estimator: str = "exact"
     estimator_tau: float = 0.012
     estimator_noise: float = 0.0
+    # heightfield terrain training (reference terrain xml variants +
+    # noise_generator.py): "flat" | "noise" | "hill" | "steps". Non-flat
+    # swaps in the hfield-enabled model and samples a fresh per-episode
+    # terrain table at reset (deterministic in the reset rng).
+    terrain: str = "flat"
+    terrain_amplitude: float = 0.05
     max_speed: float = 4.0
     min_speed: float = -0.3
     max_side_speed: float = 0.3
@@ -187,7 +193,7 @@ class CassieEnv(Env):
     omniscient: bool = False
 
     def __post_init__(self):
-        self.model = cassie_model()
+        self.model = cassie_model(enable_hfield=self.terrain != "flat")
         # input profiles: full(46)/min(21) from the consolidated env
         # (cassie.py:236-237) plus the research variants footdist(51) and
         # noaccel_footdist(44) (SURVEY.md section 2.2 #25). The research
@@ -303,6 +309,23 @@ class CassieEnv(Env):
                 friction=friction, floor_quat=floor_quat)
         else:
             params, menc, jenc = default, jnp.zeros(10), jnp.zeros(6)
+        if self.terrain != "flat":
+            from apex_tpu.utils.terrain import noise_hfield, steps_hfield
+
+            k_hf = jax.random.fold_in(rng, 17)
+            if self.terrain == "noise":
+                table = noise_hfield(k_hf, amplitude=self.terrain_amplitude,
+                                     smoothness=3)
+            elif self.terrain == "hill":
+                table = noise_hfield(k_hf, amplitude=self.terrain_amplitude,
+                                     smoothness=9)
+            elif self.terrain == "steps":
+                table = steps_hfield(k_hf,
+                                     step_height=self.terrain_amplitude)
+            else:
+                raise ValueError(f"unknown terrain {self.terrain}")
+            params = params.replace(hfield=table,
+                                    hfield_active=jnp.ones(()))
         return params, menc, jenc, default
 
     def _make_clock(self, rng, speed):

@@ -68,10 +68,20 @@ CASSIE_QPOS_INIT = np.array([
 ])
 
 _MODEL_CACHE = None
+_HF_MODEL_CACHE = None
 
 
-def cassie_model() -> PhysModel:
-    global _MODEL_CACHE
+def cassie_model(enable_hfield: bool = False) -> PhysModel:
+    """Canonical Cassie PhysModel (cached per hfield variant so kernel /
+    structure caches hung off the instance are shared by every env)."""
+    global _MODEL_CACHE, _HF_MODEL_CACHE
+    if enable_hfield:
+        if _HF_MODEL_CACHE is None:
+            import dataclasses
+
+            _HF_MODEL_CACHE = dataclasses.replace(
+                cassie_model(), enable_hfield=True)
+        return _HF_MODEL_CACHE
     if _MODEL_CACHE is None:
         _MODEL_CACHE = make_model()
     return _MODEL_CACHE
@@ -279,7 +289,9 @@ def _fleet_pd_scan(model: PhysModel, params_b: PhysParams,
     cmd_bt = jax.tree_util.tree_map(to_bt, cmd_b)       # leaves (10, B)
     qpos0, qvel0 = to_bt(phys_b.qpos), to_bt(phys_b.qvel)
 
-    if (jax.default_backend() not in ("cpu", "gpu")
+    on_accel = jax.default_backend() not in ("cpu", "gpu")
+    force = os.environ.get("APEX_TPU_FORCE_MEGAKERNEL", "") not in ("", "0")
+    if ((on_accel or force)
             and os.environ.get("APEX_TPU_NO_MEGAKERNEL", "") in ("", "0")):
         from apex_tpu.physics import fleet_kernel
 
@@ -335,6 +347,26 @@ def _fleet_pd_scan(model: PhysModel, params_b: PhysParams,
             to_bf(qvel_seq), to_bf(qacc_seq))
 
 
+def _gspmd_mesh_axis(batch: int):
+    """(abstract_mesh, axis_name) when tracing inside a jit that carries a
+    mesh context (jax.sharding.set_mesh / shard_ppo_state callers), else
+    None. The env-fleet batch must divide the axis size."""
+    get = getattr(jax.sharding, "get_abstract_mesh", None)
+    if get is None:
+        return None
+    am = get()
+    if am is None or getattr(am, "empty", True):
+        return None
+    if "env" in am.axis_names:
+        name = "env"
+    else:
+        sized = [n for n in am.axis_names if am.shape[n] > 1]
+        name = sized[0] if sized else am.axis_names[0]
+    if batch % am.shape[name] != 0:
+        return None
+    return am, name
+
+
 def _megakernel_pd_scan(model: PhysModel, params_bt: PhysParams,
                         cmd_bt: PDCommand, qpos0: jnp.ndarray,
                         qvel0: jnp.ndarray, length: int):
@@ -342,29 +374,60 @@ def _megakernel_pd_scan(model: PhysModel, params_bt: PhysParams,
     (fleet_kernel.pallas_pd_substep): the entire physics pipeline --
     FK, CRBA/RNEA, tree-sparse LTDL solves, contacts, loop-closure
     impulses, PD law, integration -- runs as ONE program per substep
-    with all intermediates resident in VMEM/registers."""
+    with all intermediates resident in VMEM/registers.
+
+    When a mesh context is active (GSPMD training: shard_ppo_state +
+    jax.sharding.set_mesh), the whole substep scan runs under shard_map
+    along the env axis so each device invokes the kernel on its LOCAL
+    env shard -- the composition the multi-chip extrapolation rests on
+    (round-3 Weak #1). On CPU (forced-kernel tests) the emulated
+    generator path stands in for pallas_call."""
     from apex_tpu.physics import fleet_kernel
 
     cmd_rows = jnp.concatenate([
         cmd_bt.p_target, cmd_bt.d_target, cmd_bt.p_gain, cmd_bt.d_gain,
         cmd_bt.ff_torque], axis=0)                       # (5*nu, B)
 
-    def body(carry, _):
-        qpos, qvel = carry
-        qpos2, qvel2, qacc2, diag_rows = fleet_kernel.pallas_pd_substep(
-            model, params_bt, qpos, qvel, cmd_rows)
-        diag = SubstepDiag(
-            foot_frc_z=diag_rows[0:2],
-            foot_pos=diag_rows[2:8].reshape(2, 3, -1),
-            foot_vel=diag_rows[8:14].reshape(2, 3, -1),
-            foot_quat=diag_rows[14:22].reshape(2, 4, -1),
-            toe_heel_force=diag_rows[22:34].reshape(2, 2, 3, -1),
-            motor_torque=diag_rows[34:34 + model.nu],
-        )
-        return (qpos2, qvel2), (diag, qvel2, qacc2)
+    substep = (fleet_kernel.emulated_pd_substep
+               if jax.default_backend() in ("cpu", "gpu")
+               else fleet_kernel.pallas_pd_substep)
 
-    (qpos_f, qvel_f), (diag_seq, qvel_seq, qacc_seq) = jax.lax.scan(
-        body, (qpos0, qvel0), None, length=length)
+    def core(params_bt, cmd_rows, qpos0, qvel0):
+        fleet_kernel.LAST_KERNEL_BATCH = qpos0.shape[-1]
+
+        def body(carry, _):
+            qpos, qvel = carry
+            qpos2, qvel2, qacc2, diag_rows = substep(
+                model, params_bt, qpos, qvel, cmd_rows)
+            diag = SubstepDiag(
+                foot_frc_z=diag_rows[0:2],
+                foot_pos=diag_rows[2:8].reshape(2, 3, -1),
+                foot_vel=diag_rows[8:14].reshape(2, 3, -1),
+                foot_quat=diag_rows[14:22].reshape(2, 4, -1),
+                toe_heel_force=diag_rows[22:34].reshape(2, 2, 3, -1),
+                motor_torque=diag_rows[34:34 + model.nu],
+            )
+            return (qpos2, qvel2), (diag, qvel2, qacc2)
+
+        return jax.lax.scan(body, (qpos0, qvel0), None, length=length)
+
+    mesh_axis = _gspmd_mesh_axis(qpos0.shape[-1])
+    if mesh_axis is not None:
+        from jax.sharding import PartitionSpec as P
+
+        am, axis = mesh_axis
+        last = lambda t: jax.tree_util.tree_map(
+            lambda x: P(*([None] * (jnp.ndim(x) - 1) + [axis])), t)
+        args = (params_bt, cmd_rows, qpos0, qvel0)
+        out_spec = jax.tree_util.tree_map(
+            lambda x: P(*([None] * (len(x.shape) - 1) + [axis])),
+            jax.eval_shape(core, *args))
+        core = jax.shard_map(core, mesh=am,
+                             in_specs=tuple(last(a) for a in args),
+                             out_specs=out_spec)
+
+    (qpos_f, qvel_f), (diag_seq, qvel_seq, qacc_seq) = core(
+        params_bt, cmd_rows, qpos0, qvel0)
 
     to_bf = lambda x: jnp.moveaxis(x, -1, 0)
     phys_f = CassiePhysState(qpos=to_bf(qpos_f), qvel=to_bf(qvel_f),

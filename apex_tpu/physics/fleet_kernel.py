@@ -27,8 +27,20 @@ Numerics mirror fleet.fleet_step phase-for-phase (same formulas, same
 accumulation order within each phase; the solves replace inv(A) @ x with
 an algebraically identical factorization, so results agree to the same
 f32 reassociation noise the fleet-vs-per-env tests already allow).
-Heightfield terrain is NOT supported here (static plane/tilt only) --
-callers dispatch on model.enable_hfield.
+
+Heightfield terrain (model.enable_hfield): the per-env (32, 32) terrain
+table rides along as a (1024, Bb) input block and the bilinear
+lookup+gradient (engine.hfield_lookup semantics, engine.py:99-118) is
+expressed gather-free as a tent-weight contraction: bilinear
+interpolation at u is exactly sum_ij wx[i] wy[j] H[i, j] with
+wx[i] = onehot(i0)(1-f) + onehot(i0+1) f, and the corner-difference
+gradients use wxd[i] = onehot(i0+1) - onehot(i0) over the cell size --
+identical arithmetic to the fleet path's 4-corner gather form, but as
+dense (32, Bb) multiply-reduces the VPU can chew through instead of
+per-lane gathers Mosaic cannot express. Reference parity anchor for the
+terrain axis: cassie_sim_set_hfielddata/hfield_size
+(include/cassiemujoco.h:104-110) + the 5k matrix terrain cells
+(5k_test.py:330-391).
 
 Reference parity anchor: cassie_sim_step_pd (include/cassiemujoco.h:80);
 see engine.py/fleet.py for per-phase citations.
@@ -46,6 +58,14 @@ from jax.experimental import pallas as pl
 from apex_tpu.physics.spec import DOF_WIDTH, JointType, PhysModel
 
 BAUMGARTE_BETA = 0.2   # keep in sync with engine.BAUMGARTE_BETA
+HFIELD_RES = 32        # keep in sync with engine.HFIELD_RES
+
+# batch size of the most recent kernel-path trace (set at trace time inside
+# the megakernel scan). Under GSPMD shard_map this is the PER-DEVICE shard
+# width -- tests/test_multihost.py asserts it equals fleet/n_devices, which
+# fails loudly if the kernel path ever stops partitioning along the env
+# axis.
+LAST_KERNEL_BATCH = None
 
 
 # ---------------------------------------------------------------------------
@@ -102,15 +122,24 @@ def _gen_kernel(model: PhysModel, meta: _KernelMeta, with_pd: bool):
     grav = np.asarray(model.gravity, dtype=np.float64)
 
     def kernel(qpos_ref, qvel_ref, cmd_ref, damp_ref, mass_ref, ipos_ref,
-               misc_ref, qpos_out, qvel_out, qacc_out, diag_out):
+               misc_ref, *refs):
         """Row layouts:
           cmd_ref  (5*nu, Bb): [p_target, d_target, p_gain, d_gain, ff]
                    (with_pd) or (nu, Bb) raw ctrl (not with_pd)
-          misc_ref (14, Bb): friction(1) floor_quat(4) floor_pos(3)
-                   ext_force(6)
+          misc_ref (14|16, Bb): friction(1) floor_quat(4) floor_pos(3)
+                   ext_force(6) [+ hfield_radius(1) hfield_active(1) when
+                   model.enable_hfield]
+          hfield_ref (HFIELD_RES^2, Bb): row-major terrain table (only
+                   when model.enable_hfield)
           diag_out (44, Bb): frc_z(2) foot_pos(6) foot_vel(6) foot_quat(8)
                    toe_heel(12) motor_torque(10)
         """
+        if model.enable_hfield:
+            hfield_ref = refs[0]
+            qpos_out, qvel_out, qacc_out, diag_out = refs[1:]
+        else:
+            hfield_ref = None
+            qpos_out, qvel_out, qacc_out, diag_out = refs
         zero = jnp.zeros_like(qpos_ref[0])
         one = jnp.ones_like(qpos_ref[0])
 
@@ -424,6 +453,52 @@ def _gen_kernel(model: PhysModel, meta: _KernelMeta, with_pd: bool):
         n_w = [vz[k] + 2.0 * (fquat[0] * uv[k] + uuv[k]) for k in range(3)]
         floor_p = [fpos[k] - origin[k] for k in range(3)]
 
+        # heightfield lookup: tent-weight contraction over the (32, Bb)
+        # terrain rows (exact bilinear + corner-difference gradients;
+        # engine.hfield_lookup / fleet._hfield_lookup_bt semantics)
+        if model.enable_hfield:
+            ng = HFIELD_RES
+            rad_h = misc_ref[14]
+            act_h = misc_ref[15]
+            cellsz = 2.0 * rad_h / (ng - 1)
+            blockB = qpos_ref.shape[-1]
+            Hrows = [hfield_ref[i * ng:(i + 1) * ng, :] for i in range(ng)]
+            iota2 = jax.lax.broadcasted_iota(jnp.int32, (ng, blockB), 0)
+
+            def hf_lookup(pwx, pwy):
+                ux = jnp.clip((pwx - fpos[0]) / cellsz + (ng - 1) / 2.0,
+                              0.0, ng - 1.001)
+                uy = jnp.clip((pwy - fpos[1]) / cellsz + (ng - 1) / 2.0,
+                              0.0, ng - 1.001)
+                i0x = jnp.floor(ux)
+                fx = ux - i0x
+                i0y = jnp.floor(uy)
+                fy = uy - i0y
+                ix = i0x.astype(jnp.int32)
+                iy = i0y.astype(jnp.int32)
+                ex0 = (iota2 == ix[None, :]).astype(jnp.float32)
+                ex1 = (iota2 == ix[None, :] + 1).astype(jnp.float32)
+                ey0 = (iota2 == iy[None, :]).astype(jnp.float32)
+                ey1 = (iota2 == iy[None, :] + 1).astype(jnp.float32)
+                wx2 = ex0 * (1.0 - fx)[None, :] + ex1 * fx[None, :]
+                wy2 = ey0 * (1.0 - fy)[None, :] + ey1 * fy[None, :]
+                wxd2 = ex1 - ex0
+                wyd2 = ey1 - ey0
+                # contract the x axis first with 2D accumulators (one
+                # cross-sublane reduce per output instead of one per x-row)
+                acc_h = None    # (ng, Bb): sum_i H[i, :] wx[i]
+                acc_d = None    # (ng, Bb): sum_i H[i, :] wxd[i]
+                for i in range(ng):
+                    wxi = wx2[i][None, :]
+                    wxdi = wxd2[i][None, :]
+                    t = Hrows[i]
+                    acc_h = t * wxi if acc_h is None else acc_h + t * wxi
+                    acc_d = t * wxdi if acc_d is None else acc_d + t * wxdi
+                hh = jnp.sum(acc_h * wy2, axis=0)
+                dhy = jnp.sum(acc_h * wyd2, axis=0)
+                dhx = jnp.sum(acc_d * wy2, axis=0)
+                return hh, dhx / cellsz, dhy / cellsz
+
         qfrc_con = [None] * nv
         ncon = len(model.contacts)
         sphere_f: List = [None] * ncon      # world force 3-lists
@@ -457,8 +532,21 @@ def _gen_kernel(model: PhysModel, meta: _KernelMeta, with_pd: bool):
                                         for k in range(3)
                                         if con.offset[k] != 0.0)
                       for a in range(3)]
-                depth = float(con.radius) - sum(
+                depth_plane = float(con.radius) - sum(
                     (p_[k] - floor_p[k]) * n_w[k] for k in range(3))
+                if model.enable_hfield:
+                    pw = [p_[k] + origin[k] for k in range(3)]
+                    hh, dhdx, dhdy = hf_lookup(pw[0], pw[1])
+                    hnorm = jnp.sqrt(dhdx * dhdx + dhdy * dhdy + 1.0)
+                    n_h = [-dhdx / hnorm, -dhdy / hnorm, 1.0 / hnorm]
+                    depth_h = (float(con.radius) + (fpos[2] + hh) - pw[2])
+                    hact = act_h > 0.5
+                    depth = jnp.where(hact, depth_h, depth_plane)
+                    n_c = [jnp.where(hact, n_h[k], n_w[k])
+                           for k in range(3)]
+                else:
+                    depth = depth_plane
+                    n_c = n_w
                 bv = body_vel[cb]
                 v_p = [bv[3 + k] + cross(bv[:3], p_)[k] for k in range(3)]
                 sphere_vp[ci] = v_p
@@ -490,22 +578,22 @@ def _gen_kernel(model: PhysModel, meta: _KernelMeta, with_pd: bool):
                 G = [[PLaaPT[r][cl] + PLal[r][cl] + PLal[cl][r]
                       + Lll[r][cl] for cl in range(3)] for r in range(3)]
 
-                Gn = [sum(G[r][cl] * n_w[cl] for cl in range(3))
+                Gn = [sum(G[r][cl] * n_c[cl] for cl in range(3))
                       for r in range(3)]
-                g_n = sum(n_w[r] * Gn[r] for r in range(3))
+                g_n = sum(n_c[r] * Gn[r] for r in range(3))
                 m_n = 1.0 / jnp.maximum(g_n, 1e-8)
-                vn = dot3(v_p, n_w)
+                vn = dot3(v_p, n_c)
                 fn = jnp.maximum(0.0, m_n * (k_unit * depth - b_unit * vn))
                 fn = jnp.where(depth > 0, fn, 0.0)
 
-                vt = [v_p[k] - vn * n_w[k] for k in range(3)]
+                vt = [v_p[k] - vn * n_c[k] for k in range(3)]
                 vt_norm = jnp.sqrt(dot3(vt, vt)) + 1e-9
                 trG = G[0][0] + G[1][1] + G[2][2]
                 m_t = 1.0 / jnp.maximum((trG - g_n) / 2.0, 1e-8)
                 f_stick = m_t * vt_norm / (2.0 * h)
                 ft_mag = jnp.minimum(fric * fn, f_stick)
                 scale = ft_mag / vt_norm
-                f_ = [fn * n_w[k] - scale * vt[k] for k in range(3)]
+                f_ = [fn * n_c[k] - scale * vt[k] for k in range(3)]
                 sphere_f[ci] = f_
 
                 pxf = cross(p_, f_)
@@ -785,8 +873,8 @@ def _meta_of(model: PhysModel) -> _KernelMeta:
 
 
 def supported(model: PhysModel) -> bool:
-    """The kernel handles plane/tilt ground only (no heightfield)."""
-    return not model.enable_hfield
+    """Plane/tilt AND heightfield models are handled (hfield since r4)."""
+    return True
 
 
 class _RowsRef:
@@ -799,7 +887,15 @@ class _RowsRef:
             self.rows = [rows_or_array[i]
                          for i in range(rows_or_array.shape[0])]
 
+    @property
+    def shape(self):
+        return (len(self.rows), jnp.shape(self.rows[0])[-1])
+
     def __getitem__(self, i):
+        if isinstance(i, tuple):
+            i = i[0]
+        if isinstance(i, slice):
+            return jnp.stack(self.rows[i])
         return self.rows[i]
 
     def __setitem__(self, i, v):
@@ -819,16 +915,30 @@ def emulated_pd_substep(model: PhysModel, params_bt, qpos: jnp.ndarray,
     nq, nv, nb = model.nq, model.nv, model.nbody
     kernel = _gen_kernel(model, meta, with_pd=True)
     B = qpos.shape[-1]
-    misc = jnp.concatenate([
-        params_bt.friction[None] * jnp.ones((1, B), qpos.dtype),
-        params_bt.floor_quat, params_bt.floor_pos, params_bt.ext_force,
-    ], axis=0)
+    misc, hf = _misc_rows(model, params_bt, B, qpos.dtype)
+    extra = [_RowsRef(hf)] if hf is not None else []
     outs = [_RowsRef(nq), _RowsRef(nv), _RowsRef(nv), _RowsRef(DIAG_ROWS)]
     kernel(_RowsRef(qpos), _RowsRef(qvel), _RowsRef(cmd_rows),
            _RowsRef(params_bt.dof_damping), _RowsRef(params_bt.body_mass),
            _RowsRef(params_bt.body_ipos.reshape(nb * 3, B)),
-           _RowsRef(misc), *outs)
+           _RowsRef(misc), *extra, *outs)
     return tuple(o.stack() for o in outs)
+
+
+def _misc_rows(model: PhysModel, params_bt, B: int, dtype):
+    """(misc, hfield_rows|None): misc is (14|16, B), hfield (RES^2, B)."""
+    parts = [
+        params_bt.friction[None] * jnp.ones((1, B), dtype),
+        params_bt.floor_quat,
+        params_bt.floor_pos,
+        params_bt.ext_force,
+    ]
+    if not model.enable_hfield:
+        return jnp.concatenate(parts, axis=0), None
+    parts.append(params_bt.hfield_radius[None] * jnp.ones((1, B), dtype))
+    parts.append(params_bt.hfield_active[None] * jnp.ones((1, B), dtype))
+    hf = params_bt.hfield.reshape(HFIELD_RES * HFIELD_RES, B)
+    return jnp.concatenate(parts, axis=0), hf
 
 
 def pallas_pd_substep(model: PhysModel, params_bt, qpos: jnp.ndarray,
@@ -842,18 +952,19 @@ def pallas_pd_substep(model: PhysModel, params_bt, qpos: jnp.ndarray,
     meta = _meta_of(model)
     nq, nv, nb, nu = model.nq, model.nv, model.nbody, model.nu
     B = qpos.shape[-1]
+    if model.enable_hfield:
+        # the (RES^2, block) terrain block dominates VMEM staging; cap the
+        # double-buffered window at 2 x 2 MB
+        block_b = min(block_b, 512)
     block = min(block_b, B)
     pad = (-B) % block
 
-    misc = jnp.concatenate([
-        params_bt.friction[None] * jnp.ones((1, B), qpos.dtype),
-        params_bt.floor_quat,
-        params_bt.floor_pos,
-        params_bt.ext_force,
-    ], axis=0)
+    misc, hf = _misc_rows(model, params_bt, B, qpos.dtype)
     ipos_flat = params_bt.body_ipos.reshape(nb * 3, B)
     args = [qpos, qvel, cmd_rows, params_bt.dof_damping,
             params_bt.body_mass, ipos_flat, misc]
+    if hf is not None:
+        args.append(hf)
     if pad:
         args = [jnp.concatenate(
             [x, jnp.broadcast_to(x[:, :1], (x.shape[0], pad))], axis=-1)
@@ -872,6 +983,8 @@ def pallas_pd_substep(model: PhysModel, params_bt, qpos: jnp.ndarray,
         kernel = _gen_kernel(model, meta, with_pd=True)
         object.__setattr__(model, "_pd_kernel", kernel)
     in_rows = [nq, nv, 5 * nu, nv, nb, nb * 3, 14]
+    if model.enable_hfield:
+        in_rows = in_rows[:-1] + [16, HFIELD_RES * HFIELD_RES]
     qpos2, qvel2, qacc, diag = pl.pallas_call(
         kernel,
         out_shape=out_shapes,

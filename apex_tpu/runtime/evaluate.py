@@ -36,7 +36,9 @@ def load_experiment(path: str):
         learn_gains=getattr(args, "learn_gains", False),
         dynamics_randomization=getattr(args, "dyn_random", False),
         reward=getattr(args, "reward", "early_clock"),
-        history=getattr(args, "history", 0))
+        history=getattr(args, "history", 0),
+        estimator=getattr(args, "estimator", "exact"),
+        terrain=getattr(args, "terrain", "flat"))
 
     cfg = PPOConfig(
         num_envs=getattr(args, "num_procs", 64),

@@ -80,6 +80,60 @@ def test_kernel_ball_drop_contact_matches_engine():
     np.testing.assert_allclose(qa, qa_r, rtol=1e-3, atol=1e-1)
 
 
+def test_kernel_hfield_contact_matches_engine():
+    """Heightfield contact branch: the kernel's gather-free tent-weight
+    bilinear lookup (h, dhdx, dhdy + tilted normal) must match the per-env
+    engine's hfield_lookup path (engine.py:99-118, :615-624) including the
+    per-env hfield_active select."""
+    import dataclasses
+
+    from apex_tpu.utils.terrain import noise_hfield
+
+    model = dataclasses.replace(parse_mjcf_string(BALL_DROP_XML),
+                                enable_hfield=True)
+    B = 4
+    rng = np.random.default_rng(2)
+    pos = np.array([[0.0, 0.0, 1.0], [0.0, 0.0, 0.0999],
+                    [0.4, -0.7, 0.15], [-1.3, 0.9, 0.12]])
+    quat = rng.normal(0, 1, (B, 4))
+    quat /= np.linalg.norm(quat, axis=1, keepdims=True)
+    qpos_b = jnp.asarray(np.concatenate([pos, quat], axis=1)[:, :model.nq]
+                         .astype(np.float32))
+    qvel_b = jnp.asarray((0.1 * rng.normal(0, 1, (B, model.nv))).astype(
+        np.float32))
+
+    params = PhysParams.from_model(model)
+    keys = jax.random.split(jax.random.PRNGKey(7), B)
+    hfs = jax.vmap(lambda k: noise_hfield(k, amplitude=0.08))(keys)
+    active = jnp.asarray([1.0, 1.0, 1.0, 0.0])   # env 3 exercises the
+    # plane fallback select inside an hfield-enabled model
+
+    to_bt = lambda x: jnp.moveaxis(x, 0, -1)
+    params_bt = jax.tree_util.tree_map(
+        lambda x: to_bt(jnp.tile(x, (B,) + (1,) * jnp.ndim(x))), params)
+    params_bt = params_bt.replace(hfield=to_bt(hfs), hfield_active=active)
+    cmd_rows = jnp.zeros((5 * model.nu, B))
+    qpos2, qvel2, qacc2, _ = jax.jit(
+        lambda p, q, v, cd: fleet_kernel.emulated_pd_substep(
+            model, p, q, v, cd)
+    )(params_bt, to_bt(qpos_b), to_bt(qvel_b), cmd_rows)
+
+    for i in range(B):
+        params_i = params.replace(hfield=hfs[i], hfield_active=active[i])
+        out = jax.jit(lambda q, v, p: _step_single(
+            model, p, q, v, jnp.zeros(model.nu)))(qpos_b[i], qvel_b[i],
+                                                  params_i)
+        np.testing.assert_allclose(np.asarray(qpos2)[:, i],
+                                   np.asarray(out.qpos), rtol=1e-5,
+                                   atol=1e-6)
+        np.testing.assert_allclose(np.asarray(qvel2)[:, i],
+                                   np.asarray(out.qvel), rtol=1e-4,
+                                   atol=1e-4)
+        np.testing.assert_allclose(np.asarray(qacc2)[:, i],
+                                   np.asarray(out.qacc), rtol=1e-3,
+                                   atol=1e-1)
+
+
 def test_pd_indices_match_cassie_motor_maps():
     """The kernel derives PD q/qd indices from the actuators' joints; for
     Cassie these must equal the cassie_sim MOTOR index tables."""

@@ -28,8 +28,26 @@ pytestmark = pytest.mark.skipif(
 
 
 def _mesh_ctx(mesh):
-    return (jax.sharding.use_mesh(mesh)
-            if hasattr(jax.sharding, "use_mesh") else mesh)
+    from apex_tpu.parallel.mesh import mesh_context
+
+    return mesh_context(mesh)
+
+
+def test_megakernel_path_partitions_on_mesh():
+    """The whole-substep kernel path (the one behind the headline bench
+    number) must compose with GSPMD: under a mesh context its substep scan
+    runs through shard_map along the env axis, each device tracing the
+    kernel at its LOCAL shard width (round-3 Weak #1). Fails if the kernel
+    stops partitioning (per-device trace width != B/n_dev) or if sharding
+    changes results (all substep math is lane-wise, so sharded ==
+    unsharded holds near-bitwise)."""
+    from apex_tpu.parallel.mesh import megakernel_mesh_check
+
+    mesh = make_mesh(8)
+    per_dev, delta = megakernel_mesh_check(mesh, batch=16)
+    assert per_dev == 2, (
+        f"kernel traced batch {per_dev}, want 2 per device")
+    assert delta < 1e-5, f"sharded megakernel diverged: {delta}"
 
 
 def test_cassie_rollout_sharded_over_env_axis():

@@ -3,7 +3,9 @@ real TPU: compile, compare one substep against the batch-last fleet path
 (same tolerances as tests/test_fleet_parity.py), then measure the honest
 per-substep cost as the slope of a dependency-chained scan.
 
-Usage: python tools/check_megakernel.py [batch]
+Usage: python tools/check_megakernel.py [batch] [--hfield]
+  --hfield uses the hfield-enabled Cassie model with per-env noise
+  terrain active (the kernel's tent-weight bilinear contact branch).
 """
 import pathlib
 import sys
@@ -20,8 +22,10 @@ from apex_tpu.physics.cassie_sim import (CASSIE_QPOS_INIT, PDCommand,
                                          cassie_model)
 from apex_tpu.physics.engine import PhysParams
 
-B = int(sys.argv[1]) if len(sys.argv) > 1 else 256
-m = cassie_model()
+HFIELD = "--hfield" in sys.argv
+argv = [a for a in sys.argv[1:] if not a.startswith("--")]
+B = int(argv[0]) if argv else 256
+m = cassie_model(enable_hfield=HFIELD)
 params = PhysParams.from_model(m)
 rng = jax.random.PRNGKey(0)
 k1, k2, k3 = jax.random.split(rng, 3)
@@ -38,6 +42,13 @@ cmd_b = jax.vmap(PDCommand.from_targets)(targets)
 to_bt = lambda x: jnp.moveaxis(x, 0, -1)
 params_bt = jax.tree_util.tree_map(
     lambda x: to_bt(jnp.tile(x, (B,) + (1,) * jnp.ndim(x))), params)
+if HFIELD:
+    from apex_tpu.utils.terrain import noise_hfield
+
+    hfs = jax.vmap(lambda k: noise_hfield(k, amplitude=0.06))(
+        jax.random.split(jax.random.PRNGKey(5), B))
+    params_bt = params_bt.replace(hfield=to_bt(hfs),
+                                  hfield_active=jnp.ones(B))
 cmd_rows = jnp.concatenate([
     to_bt(cmd_b.p_target), to_bt(cmd_b.d_target), to_bt(cmd_b.p_gain),
     to_bt(cmd_b.d_gain), to_bt(cmd_b.ff_torque)], axis=0)

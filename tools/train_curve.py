@@ -46,6 +46,16 @@ def main():
     ap.add_argument("--std", type=float, default=-1.5)
     ap.add_argument("--max-traj-len", type=int, default=300)
     ap.add_argument("--anneal", type=float, default=1.0)
+    ap.add_argument("--dyn-random", action="store_true",
+                    help="dynamics randomization ON (the reference's "
+                    "flagship training config, cassie.py:567-657)")
+    ap.add_argument("--estimator", default="exact",
+                    choices=["exact", "firmware"],
+                    help="state-estimator model (firmware = lag+noise "
+                    "proxy of CassieCoreSim transients)")
+    ap.add_argument("--terrain", default="flat",
+                    choices=["flat", "noise", "hill", "steps"])
+    ap.add_argument("--terrain-amplitude", type=float, default=0.05)
     ap.add_argument("--name", default=None)
     ap.add_argument("--resume", default=None,
                     help="checkpoint dir to continue from (fresh runner; "
@@ -58,7 +68,10 @@ def main():
     if args.which == "cassie":
         from apex_tpu.envs.cassie import CassieEnv
 
-        env = CassieEnv(dynamics_randomization=False, reward=args.reward)
+        env = CassieEnv(dynamics_randomization=args.dyn_random,
+                        reward=args.reward, estimator=args.estimator,
+                        terrain=args.terrain,
+                        terrain_amplitude=args.terrain_amplitude)
         env_name = "Cassie-v0"
     else:
         from apex_tpu.envs.walker2d import Walker2dEnv
@@ -81,9 +94,12 @@ def main():
             "env_name": env_name, "reward": args.reward,
             "num_procs": cfg.num_envs, "num_steps": cfg.num_steps,
             "max_traj_len": cfg.max_traj_len, "std_dev": args.std,
-            "mirror": True, "dyn_random": False, "simrate": 50,
+            "mirror": True, "dyn_random": getattr(args, "dyn_random", False),
+            "simrate": 50,
             "command_profile": "clock", "input_profile": "full",
             "learn_gains": False, "history": 0, "seed": args.seed,
+            "estimator": getattr(args, "estimator", "exact"),
+            "terrain": getattr(args, "terrain", "flat"),
         }, f)
 
     ppo = PPO(env, cfg)
