@@ -675,7 +675,14 @@ class CassieEnv(Env):
                 "foot_pos": diag_last.foot_pos,           # (2, 3) world
                 "est_lfoot_pos": est.left_foot_position,
                 "est_rfoot_pos": est.right_foot_position,
-                "qpos": phys.qpos}
+                "qpos": phys.qpos,
+                # plot_policy channel parity (reference plot_policy.py:
+                # 1-326 records commanded PD targets vs measured motor
+                # positions, torques, and estimated state live)
+                "pd_target": target,                      # (10,) commanded
+                "motor_pos": phys.qpos[MOTOR_QPOS_IDX],   # (10,) measured
+                "motor_vel": phys.qvel[MOTOR_QVEL_IDX],
+                "motor_torque": motor_torque}             # (10,) applied
         return new_state, obs, reward, terminated, info
 
     # ------------------------------------------------------------------

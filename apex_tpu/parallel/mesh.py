@@ -154,6 +154,25 @@ def megakernel_mesh_check(mesh: Mesh, batch: int = 16, length: int = 5):
     return per_dev, delta
 
 
+def ppo_partition_specs(state, axis: str = "env"):
+    """PartitionSpec pytree matching shard_ppo_state's placement: leaves
+    with leading dim == fleet size sharded on `axis`, everything else
+    (params, opt state, rng keys -- uint32 guard, see shard_runner)
+    replicated. Works on concrete arrays and ShapeDtypeStructs."""
+    import jax.numpy as jnp
+
+    num_envs = state.runner.obs.shape[0]
+
+    def spec(x):
+        shape = tuple(x.shape)
+        if (len(shape) >= 1 and shape[0] == num_envs
+                and x.dtype != jnp.uint32):
+            return P(axis, *([None] * (len(shape) - 1)))
+        return P()
+
+    return jax.tree_util.tree_map(spec, state)
+
+
 def shard_ppo_state(mesh: Mesh, state, axis: str = "env"):
     """Place a PPOTrainState: runner leaves sharded over the env axis,
     everything else (params, opt state, normalizer, rng) replicated."""

@@ -941,30 +941,17 @@ def _misc_rows(model: PhysModel, params_bt, B: int, dtype):
     return jnp.concatenate(parts, axis=0), hf
 
 
-def pallas_pd_substep(model: PhysModel, params_bt, qpos: jnp.ndarray,
-                      qvel: jnp.ndarray, cmd_rows: jnp.ndarray,
-                      block_b: int = 1024, interpret: bool = False):
-    """One PD substep for the whole fleet, batch-last.
-
-    qpos (nq, B), qvel (nv, B), cmd_rows (5*nu, B) stacked
-    [p_target; d_target; p_gain; d_gain; ff_torque]; params_bt is a
-    batch-last PhysParams. Returns (qpos2, qvel2, qacc, diag (44, B))."""
+def _invoke(model: PhysModel, block_b: int, interpret: bool, *args):
+    """Raw (local-shard) kernel invocation: pad to a block multiple, run
+    the pallas grid, unpad. args are the batch-last row blocks listed in
+    pallas_pd_substep."""
+    global LAST_KERNEL_BATCH
     meta = _meta_of(model)
     nq, nv, nb, nu = model.nq, model.nv, model.nbody, model.nu
-    B = qpos.shape[-1]
-    if model.enable_hfield:
-        # the (RES^2, block) terrain block dominates VMEM staging; cap the
-        # double-buffered window at 2 x 2 MB
-        block_b = min(block_b, 512)
+    B = args[0].shape[-1]
+    LAST_KERNEL_BATCH = B
     block = min(block_b, B)
     pad = (-B) % block
-
-    misc, hf = _misc_rows(model, params_bt, B, qpos.dtype)
-    ipos_flat = params_bt.body_ipos.reshape(nb * 3, B)
-    args = [qpos, qvel, cmd_rows, params_bt.dof_damping,
-            params_bt.body_mass, ipos_flat, misc]
-    if hf is not None:
-        args.append(hf)
     if pad:
         args = [jnp.concatenate(
             [x, jnp.broadcast_to(x[:, :1], (x.shape[0], pad))], axis=-1)
@@ -972,10 +959,10 @@ def pallas_pd_substep(model: PhysModel, params_bt, qpos: jnp.ndarray,
     Bp = args[0].shape[-1]
 
     out_shapes = (
-        jax.ShapeDtypeStruct((nq, Bp), qpos.dtype),
-        jax.ShapeDtypeStruct((nv, Bp), qpos.dtype),
-        jax.ShapeDtypeStruct((nv, Bp), qpos.dtype),
-        jax.ShapeDtypeStruct((DIAG_ROWS, Bp), qpos.dtype),
+        jax.ShapeDtypeStruct((nq, Bp), args[0].dtype),
+        jax.ShapeDtypeStruct((nv, Bp), args[0].dtype),
+        jax.ShapeDtypeStruct((nv, Bp), args[0].dtype),
+        jax.ShapeDtypeStruct((DIAG_ROWS, Bp), args[0].dtype),
     )
     spec = lambda rows: pl.BlockSpec((rows, block), lambda i: (0, i))
     kernel = model.__dict__.get("_pd_kernel")
@@ -997,3 +984,94 @@ def pallas_pd_substep(model: PhysModel, params_bt, qpos: jnp.ndarray,
         qpos2, qvel2, qacc, diag = (x[:, :B]
                                     for x in (qpos2, qvel2, qacc, diag))
     return qpos2, qvel2, qacc, diag
+
+
+def _mesh_batch_axis(mesh):
+    """The env/batch axis of a mesh: 'env' when present, else the first
+    sized axis."""
+    names = list(mesh.axis_names)
+    if "env" in names:
+        return "env"
+    sized = [n for n in names if dict(mesh.shape)[n] > 1]
+    return sized[0] if sized else names[0]
+
+
+def _partitioned_invoke(model: PhysModel, n_args: int, block_b: int,
+                        interpret: bool):
+    """GSPMD-partitionable kernel call (round-3 Weak #1: 'a partitionable
+    pallas_call'): every operand/result is (rows, B) batch-last, sharded
+    on B over the mesh's env axis; each device runs the pallas grid on its
+    LOCAL shard. Registered through jax.experimental.custom_partitioning
+    with an SDY sharding rule sharing one batch factor, so under jit with
+    a mesh the partitioner splits B natively -- no shard_map boundary, no
+    materialization barrier around the substep scan. Without a mesh it is
+    the plain invocation."""
+    from jax.experimental.custom_partitioning import custom_partitioning
+
+    cache = model.__dict__.get("_pd_cp_cache")
+    if cache is None:
+        cache = {}
+        object.__setattr__(model, "_pd_cp_cache", cache)
+    key = (n_args, block_b, interpret)
+    f = cache.get(key)
+    if f is not None:
+        return f
+
+    fun = functools.partial(_invoke, model, block_b, interpret)
+    f = custom_partitioning(fun)
+    # e.g. "i0 b, i1 b, ... -> o0 b, o1 b, o2 b, o3 b"
+    ins = ", ".join(f"i{k} b" for k in range(n_args))
+    outs = ", ".join(f"o{k} b" for k in range(4))
+    rule = f"{ins} -> {outs}"
+
+    def _shardings(mesh, infos):
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        ax = _mesh_batch_axis(mesh)
+        return tuple(
+            NamedSharding(mesh, P(*([None] * (len(i.shape) - 1) + [ax])))
+            for i in infos)
+
+    def infer(mesh, arg_infos, result_infos):
+        return _shardings(mesh, result_infos)
+
+    def partition(mesh, arg_infos, result_infos):
+        def lower(*local_args):
+            return fun(*local_args)
+
+        return (mesh, lower, _shardings(mesh, result_infos),
+                _shardings(mesh, arg_infos))
+
+    f.def_partition(partition=partition,
+                    infer_sharding_from_operands=infer,
+                    sharding_rule=rule)
+    cache[key] = f
+    return f
+
+
+def pallas_pd_substep(model: PhysModel, params_bt, qpos: jnp.ndarray,
+                      qvel: jnp.ndarray, cmd_rows: jnp.ndarray,
+                      block_b: int = 1024, interpret: bool = False):
+    """One PD substep for the whole fleet, batch-last.
+
+    qpos (nq, B), qvel (nv, B), cmd_rows (5*nu, B) stacked
+    [p_target; d_target; p_gain; d_gain; ff_torque]; params_bt is a
+    batch-last PhysParams. Returns (qpos2, qvel2, qacc, diag (44, B)).
+
+    The call is GSPMD-partitionable along B (custom_partitioning): under
+    a mesh each device runs the grid on its local env shard."""
+    nb = model.nbody
+    B = qpos.shape[-1]
+    if model.enable_hfield:
+        # the (RES^2, block) terrain block dominates VMEM staging; cap the
+        # double-buffered window at 2 x 2 MB
+        block_b = min(block_b, 512)
+
+    misc, hf = _misc_rows(model, params_bt, B, qpos.dtype)
+    ipos_flat = params_bt.body_ipos.reshape(nb * 3, B)
+    args = [qpos, qvel, cmd_rows, params_bt.dof_damping,
+            params_bt.body_mass, ipos_flat, misc]
+    if hf is not None:
+        args.append(hf)
+    call = _partitioned_invoke(model, len(args), block_b, interpret)
+    return call(*args)

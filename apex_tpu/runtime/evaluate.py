@@ -87,6 +87,53 @@ def eval_checkpoint(path: str, n_episodes: int = 16, traj_len: int = 400,
     return ep_ret, ep_len
 
 
+def record_policy(path: str, out: str = "policy_record.npz",
+                  n_steps: int = 300, speed: float = 1.0):
+    """Record the full control-loop channel set of one deterministic
+    rollout: commanded PD targets vs measured motor positions, motor
+    velocities, applied torques, ground-reaction forces, foot positions
+    and pelvis states (reference plot_policy.py:1-326 captures exactly
+    these channels live; here they come from the env's info diagnostics)."""
+    ppo, state, _ = load_experiment(path)
+    env = ppo.env
+
+    s, obs = jax.jit(env.reset)(jax.random.PRNGKey(0))
+    if hasattr(s, "speed"):
+        s = s.replace(speed=jnp.asarray(speed))
+
+    @jax.jit
+    def run(s, obs):
+        def body(carry, key):
+            st, ob = carry
+            action = state.actor.act(state.norm, ob, deterministic=True)
+            st2, ob2, r, term, info = env.step(st, action, key)
+            rec = {
+                "pd_target": info["pd_target"],
+                "motor_pos": info["motor_pos"],
+                "motor_vel": info["motor_vel"],
+                "torque": info["motor_torque"],
+                "grf": jnp.stack([info["l_foot_frc"],
+                                  info["r_foot_frc"]]),
+                "foot_pos": info["foot_pos"],
+                "qpos": info["qpos"],
+                "reward": r,
+                "terminated": term,
+                "action": action,
+            }
+            return (st2, ob2), rec
+
+        keys = jax.random.split(jax.random.PRNGKey(1), n_steps)
+        _, recs = jax.lax.scan(body, (s, obs), keys)
+        return recs
+
+    recs = {k: np.asarray(v) for k, v in run(s, obs).items()}
+    recs["speed"] = np.asarray(speed)
+    np.savez_compressed(out, **recs)
+    print(f"wrote {out}: " + ", ".join(
+        f"{k} {v.shape}" for k, v in recs.items() if v.ndim))
+    return recs
+
+
 def dump_gait(path: str, out: str = "gait.npz", n_steps: int = 200,
               speed: float = 1.0):
     """Record qpos of one policy rollout for offline rendering

@@ -1,17 +1,35 @@
 """Benchmark entry point for the driver.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints one JSON line PER METRIC; the HEADLINE metric (fused Cassie PPO
+env-steps/s, flat ground) is printed LAST so drivers that parse the final
+line keep the round-over-round series. Each env step is 50 physics
+substeps at 2 kHz, so substeps/s = 50x the reported value.
 
-Headline: aggregate environment steps/second of the fused PPO training loop
-(vmapped rollout + returns + 3-epoch update) on Cassie-v0 -- each env step
-is 50 physics substeps at 2 kHz, so substeps/s = 50x this number. The
-reference's equivalent path is 30 Ray CPU workers sampling ~1-2k steps/s
-aggregate (BASELINE.md records no published numbers; the anchor below is a
-generous estimate of the reference's all-core throughput).
+Metrics (VERDICT r3 #7: regressions off the flagship path must be
+visible):
+  walker2d_ppo_env_steps_per_s   -- PPO on the Walker2d rebuild
+  td3_updates_per_s              -- TD3 learner updates (Walker2d, HBM ring)
+  cassie_dynrand_ppo_env_steps_per_s -- flagship with dynamics
+                                        randomization ON
+  cassie_hfield_ppo_env_steps_per_s  -- noise-terrain Cassie (megakernel
+                                        heightfield contact branch)
+  cassie_ppo_mesh_env_steps_per_s    -- flagship under a 1-device
+                                        jax.sharding mesh with env-axis
+                                        sharding annotations + the
+                                        megakernel's shard_map path
+                                        (vs_baseline = ratio to the
+                                        un-meshed flat number: the GSPMD
+                                        penalty factor, want ~1.0)
+  cassie_ppo_env_steps_per_s         -- HEADLINE (flat, vs measured
+                                        reference anchor)
 
-Falls back to the PointMass toy-env PPO bench if the Cassie path fails
-(e.g. device fault), bounded by alarms so the driver always gets a line.
+The anchor is the MEASURED reference-shaped sampling throughput (torch FF
+policy + 2 kHz MuJoCo PD substeps over the reference cassie.xml,
+process-parallel; tools/measure_reference_anchor.py ->
+BASELINE_MEASURED.json), scaled to the reference's default 30-proc
+deployment (apex.py:244).
 """
+import contextlib
 import json
 import signal
 import sys
@@ -30,56 +48,81 @@ def _alarm(sec):
     signal.alarm(sec)
 
 
-def bench_cassie_ppo(num_envs=1024, iters=3):
+def _time_ppo(ppo, state, iters, train_iter=None):
     import jax
 
+    it = train_iter or ppo._train_iter
+    anneal = jax.numpy.asarray(1.0)
+    for _ in range(3):   # compile + reach steady state (donation/layout
+        # settling takes ~2 iters; timing them understates by >2x)
+        state, metrics = it(state, anneal)
+    float(metrics["kl"])   # host transfer: forces full execution (a bare
+    # block_until_ready can under-wait through the remote-device tunnel)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, metrics = it(state, anneal)
+    float(metrics["kl"])
+    return time.perf_counter() - t0
+
+
+def bench_cassie_ppo(num_envs=1024, iters=3, dyn_random=False,
+                     terrain="flat", under_mesh=False):
     from apex_tpu.agents.ppo import PPO, PPOConfig
     from apex_tpu.envs.cassie import CassieEnv
 
-    env = CassieEnv(dynamics_randomization=False, reward="early_clock")
+    env = CassieEnv(dynamics_randomization=dyn_random, reward="early_clock",
+                    terrain=terrain)
     cfg = PPOConfig(num_envs=num_envs, num_steps=num_envs * 32,
                     max_traj_len=300, minibatch_size=2048, epochs=3)
     ppo = PPO(env, cfg)
     state = ppo.init(seed=0)
-    anneal = jax.numpy.asarray(1.0)
-    state, metrics = ppo._train_iter(state, anneal)   # compile
-    jax.block_until_ready(metrics["kl"])
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        state, metrics = ppo._train_iter(state, anneal)
-    jax.block_until_ready(metrics["kl"])
-    dt = time.perf_counter() - t0
+    ctx = contextlib.nullcontext()
+    train_iter = None
+    if under_mesh:
+        from apex_tpu.parallel.mesh import (make_mesh, mesh_context,
+                                            shard_ppo_state)
+
+        mesh = make_mesh()
+        state = shard_ppo_state(mesh, state)
+        train_iter = ppo.train_iter_spmd(mesh)   # manual-SPMD DP path
+        ctx = mesh_context(mesh)
+    with ctx:
+        dt = _time_ppo(ppo, state, iters, train_iter)
     return iters * cfg.rollout_len * cfg.num_envs / dt
 
 
-def bench_toy_ppo(num_envs=2048, iters=8):
-    import jax
-
+def bench_walker_ppo(num_envs=2048, iters=6):
     from apex_tpu.agents.ppo import PPO, PPOConfig
-    from apex_tpu.envs.base import PointMassEnv
+    from apex_tpu.envs.walker2d import Walker2dEnv
 
     cfg = PPOConfig(num_envs=num_envs, num_steps=num_envs * 32,
                     max_traj_len=300, minibatch_size=4096, epochs=3)
-    ppo = PPO(PointMassEnv(), cfg)
+    ppo = PPO(Walker2dEnv(), cfg)
     state = ppo.init(seed=0)
-    anneal = jax.numpy.asarray(1.0)
-    state, metrics = ppo._train_iter(state, anneal)
-    jax.block_until_ready(metrics["kl"])
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        state, metrics = ppo._train_iter(state, anneal)
-    jax.block_until_ready(metrics["kl"])
-    dt = time.perf_counter() - t0
+    dt = _time_ppo(ppo, state, iters)
     return iters * cfg.rollout_len * cfg.num_envs / dt
 
 
-def main():
-    # anchor: MEASURED reference-shaped sampling throughput (torch FF
-    # policy + 2 kHz MuJoCo PD substeps over the reference cassie.xml,
-    # process-parallel) -- produced by tools/measure_reference_anchor.py,
-    # stored in BASELINE_MEASURED.json. Falls back to a 30-proc
-    # extrapolation of the measured ~155 steps/s/proc if the file is
-    # missing (the reference default is 30 procs, apex.py:244).
+def bench_td3(iters=5):
+    import jax
+
+    from apex_tpu.agents.td3 import TD3, TD3Config
+    from apex_tpu.envs.walker2d import Walker2dEnv
+
+    cfg = TD3Config(num_envs=64, async_mode=True)
+    td3 = TD3(Walker2dEnv(), cfg)
+    state = td3.init(seed=0)
+    state, metrics = td3._train_iter(state, False)    # compile
+    jax.block_until_ready(state.rng)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, metrics = td3._train_iter(state, False)
+    jax.block_until_ready(state.rng)
+    dt = time.perf_counter() - t0
+    return iters * cfg.updates_per_iter / dt
+
+
+def _cassie_anchor():
     import os
     baseline = 155.0 * 30
     measured = os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -88,8 +131,6 @@ def main():
         try:
             with open(measured) as f:
                 info = json.load(f)
-            # scale the measured per-proc rate to the reference's default
-            # 30-proc deployment for a like-for-like aggregate anchor
             per_proc = info.get("per_proc_env_steps_per_s")
             if per_proc:
                 baseline = 30.0 * (sum(per_proc) / len(per_proc))
@@ -97,39 +138,88 @@ def main():
                 baseline = float(info["anchor_env_steps_per_s"])
         except Exception:
             pass
-    try:
-        _alarm(1500)
-        sps = bench_cassie_ppo()
-        signal.alarm(0)
-        print(json.dumps({
-            "metric": "cassie_ppo_env_steps_per_s",
-            "value": round(sps, 1),
-            "unit": "env-steps/s (x50 substeps)",
-            "vs_baseline": round(sps / baseline, 2),
-        }))
+    return baseline
+
+
+def _emit(metric, value, unit, vs_baseline):
+    print(json.dumps({
+        "metric": metric,
+        "value": round(value, 1) if value is not None else 0.0,
+        "unit": unit,
+        "vs_baseline": (round(vs_baseline, 2)
+                        if vs_baseline is not None else None),
+    }), flush=True)
+
+
+def main():
+    anchor = _cassie_anchor()
+
+    def run(name, fn, alarm_s):
+        try:
+            _alarm(alarm_s)
+            v = fn()
+            signal.alarm(0)
+            return v
+        except BaseException as e:
+            signal.alarm(0)
+            print(f"{name} bench failed: {type(e).__name__}: {e}",
+                  file=sys.stderr)
+            return None
+
+    v = run("walker2d_ppo", bench_walker_ppo, 600)
+    if v is not None:
+        _emit("walker2d_ppo_env_steps_per_s", v, "env-steps/s", None)
+
+    v = run("td3", bench_td3, 600)
+    if v is not None:
+        _emit("td3_updates_per_s", v, "learner updates/s", None)
+
+    v = run("cassie_dynrand",
+            lambda: bench_cassie_ppo(dyn_random=True), 900)
+    if v is not None:
+        _emit("cassie_dynrand_ppo_env_steps_per_s", v,
+              "env-steps/s (x50 substeps)", v / anchor)
+
+    v = run("cassie_hfield",
+            lambda: bench_cassie_ppo(terrain="noise"), 900)
+    if v is not None:
+        _emit("cassie_hfield_ppo_env_steps_per_s", v,
+              "env-steps/s (x50 substeps)", v / anchor)
+
+    flat = run("cassie_flat", bench_cassie_ppo, 1200)
+
+    v = run("cassie_mesh",
+            lambda: bench_cassie_ppo(under_mesh=True), 900)
+    if v is not None:
+        _emit("cassie_ppo_mesh_env_steps_per_s", v,
+              "env-steps/s (x50 substeps)",
+              (v / flat) if flat else None)
+
+    # ---- HEADLINE: keep last for drivers parsing the final line ----
+    if flat is not None:
+        _emit("cassie_ppo_env_steps_per_s", flat,
+              "env-steps/s (x50 substeps)", flat / anchor)
         return
-    except BaseException as e:
-        signal.alarm(0)
-        print(f"cassie bench failed: {type(e).__name__}: {e}",
-              file=sys.stderr)
+
+    # fallbacks so the driver always gets a line
     try:
         _alarm(900)
-        sps = bench_toy_ppo()
+        import jax
+
+        from apex_tpu.agents.ppo import PPO, PPOConfig
+        from apex_tpu.envs.base import PointMassEnv
+
+        cfg = PPOConfig(num_envs=2048, num_steps=2048 * 32,
+                        max_traj_len=300, minibatch_size=4096, epochs=3)
+        ppo = PPO(PointMassEnv(), cfg)
+        state = ppo.init(seed=0)
+        dt = _time_ppo(ppo, state, 8)
         signal.alarm(0)
-        print(json.dumps({
-            "metric": "toy_ppo_env_steps_per_s",
-            "value": round(sps, 1),
-            "unit": "steps/s",
-            "vs_baseline": round(sps / 10_000.0, 2),
-        }))
+        _emit("toy_ppo_env_steps_per_s",
+              8 * cfg.rollout_len * cfg.num_envs / dt, "steps/s", None)
     except BaseException as e:
         signal.alarm(0)
-        print(json.dumps({
-            "metric": "cassie_ppo_env_steps_per_s",
-            "value": 0.0,
-            "unit": "env-steps/s",
-            "vs_baseline": 0.0,
-        }))
+        _emit("cassie_ppo_env_steps_per_s", 0.0, "env-steps/s", 0.0)
         print(f"all benches failed: {e}", file=sys.stderr)
 
 

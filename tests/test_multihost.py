@@ -76,6 +76,33 @@ def test_cassie_rollout_sharded_over_env_axis():
     assert np.all(np.isfinite(np.asarray(qpos)))
 
 
+def test_cassie_ppo_spmd_train_iter():
+    """The manual-SPMD training path (PPO.train_iter_spmd: shard_map body
+    with pmean'd grads/metrics/advantage-moments) on the 8-device mesh:
+    metrics finite, params stay replicated AND bitwise-identical across
+    devices (the lockstep invariant pmean'd gradients must maintain)."""
+    mesh = make_mesh(8)
+    env = CassieEnv(dynamics_randomization=True, reward="early_clock")
+    cfg = PPOConfig(num_envs=16, num_steps=32, max_traj_len=4,
+                    minibatch_size=8, epochs=2)
+    ppo = PPO(env, cfg)
+    state = shard_ppo_state(mesh, ppo.init(seed=0))
+    it = ppo.train_iter_spmd(mesh)
+
+    new_state, metrics = it(state, jnp.asarray(1.0))
+    new_state, metrics = it(new_state, jnp.asarray(1.0))
+    for k, v in metrics.items():
+        assert np.isfinite(float(v)), f"metric {k} not finite"
+    leaf = jax.tree_util.tree_leaves(new_state.actor.params)[0]
+    assert leaf.sharding.is_fully_replicated
+    # per-device copies identical (replicated params in lockstep)
+    shards = [np.asarray(s.data) for s in leaf.addressable_shards]
+    for s in shards[1:]:
+        np.testing.assert_array_equal(shards[0], s)
+    # fleet stays sharded
+    assert not new_state.runner.obs.sharding.is_fully_replicated
+
+
 def test_cassie_ppo_train_step_on_mesh():
     """Full PPO train iteration (rollout + returns + 2-epoch update) on the
     8-device mesh with the Cassie env: the sharded path the driver's

@@ -1,0 +1,146 @@
+"""Run the FULL behavioral eval battery on a trained checkpoint and commit
+the artifacts (VERDICT round-3 #4: the reference ships eval_commands.npy,
+eval_perturbs.npy and 5k_test.pkl with every trained model --
+/root/reference/trained_models/5k_retrain/ -- while our checkpoints had
+never been put through their own battery).
+
+Usage: python tools/run_eval_battery.py <ckpt_dir> [--out DIR]
+           [--skip 5k,mission,...] [--quick]
+
+Writes into <out> (default curves/<ckpt-name>_eval/):
+  eval_perturbs.npz + perturb.pdf   push-robustness polar matrix
+  eval_commands.npz                 command-following pass/fail breakdown
+  eval_5k.pkl + 5k.pdf              full robustness matrix + axis rates
+  eval_mission_<m>.npz              mission tracking error traces
+  summary.json                      headline numbers for the README table
+"""
+import argparse
+import json
+import pathlib
+import pickle
+import sys
+import time
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+import numpy as np
+
+
+def _tonp(x):
+    if isinstance(x, dict):
+        return {k: _tonp(v) for k, v in x.items()}
+    if isinstance(x, (list, tuple)):
+        return type(x)(_tonp(v) for v in x)
+    try:
+        return np.asarray(x)
+    except Exception:
+        return x
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("ckpt")
+    ap.add_argument("--out", default=None)
+    ap.add_argument("--skip", default="",
+                    help="comma list of suites to skip (perturb,commands,"
+                    "5k,mission)")
+    ap.add_argument("--quick", action="store_true",
+                    help="smaller grids (smoke-scale)")
+    args = ap.parse_args()
+    skip = set(s for s in args.skip.split(",") if s)
+
+    from apex_tpu.runtime import eval_suites, report
+    from apex_tpu.runtime.evaluate import load_experiment
+
+    ckpt = pathlib.Path(args.ckpt)
+    out = pathlib.Path(args.out) if args.out else (
+        ckpt.parent / (ckpt.name.replace("_ckpt", "") + "_eval"))
+    out.mkdir(parents=True, exist_ok=True)
+
+    ppo, state, _ = load_experiment(str(ckpt))
+    env = ppo.env
+
+    def policy_fn(obs):
+        return state.actor.act(state.norm, obs, deterministic=True)
+
+    summary = {"ckpt": str(ckpt)}
+
+    if "perturb" not in skip:
+        t0 = time.time()
+        kw = dict(num_angles=4, num_phases=2) if args.quick else {}
+        res = _tonp(eval_suites.eval_perturbation(env, policy_fn, **kw))
+        np.savez(out / "eval_perturbs.npz", angles=res["angles"],
+                 forces=res["forces"], survival=res["survival"],
+                 max_force_per_angle=res["max_force_per_angle"])
+        try:
+            report.report_perturbation(res, str(out / "perturb.pdf"))
+        except Exception as e:
+            print("perturb pdf failed:", e)
+        summary["perturb"] = {
+            "max_force_per_angle":
+                [float(v) for v in res["max_force_per_angle"]],
+            "mean_max_force": float(np.mean(res["max_force_per_angle"])),
+            "wall_s": round(time.time() - t0, 1)}
+        print("perturb:", summary["perturb"], flush=True)
+
+    if "commands" not in skip:
+        t0 = time.time()
+        kw = dict(n_trials=8, n_commands=2) if args.quick else {}
+        res = _tonp(eval_suites.eval_commands(env, policy_fn, **kw))
+        np.savez(out / "eval_commands.npz",
+                 **{k: v for k, v in res.items()
+                    if isinstance(v, np.ndarray)})
+        summary["commands"] = {
+            k: (float(v) if np.ndim(v) == 0 else None)
+            for k, v in res.items() if not isinstance(v, dict)}
+        summary["commands"] = {k: v for k, v in summary["commands"].items()
+                               if v is not None}
+        summary["commands"]["wall_s"] = round(time.time() - t0, 1)
+        print("commands:", summary["commands"], flush=True)
+
+    if "mission" not in skip:
+        t0 = time.time()
+        missions = ["default"] if args.quick else [
+            "default", "straight", "curvy", "90_left", "90_right"]
+        mres = {}
+        for m in missions:
+            res = _tonp(eval_suites.eval_mission(policy_fn, mission=m))
+            np.savez(out / f"eval_mission_{m}.npz",
+                     **{k: v for k, v in res.items()
+                        if isinstance(v, np.ndarray)})
+            mres[m] = {k: float(v) for k, v in res.items()
+                       if np.ndim(v) == 0}
+            print(f"mission {m}:", mres[m], flush=True)
+        summary["missions"] = mres
+        summary["missions_wall_s"] = round(time.time() - t0, 1)
+
+    if "5k" not in skip:
+        t0 = time.time()
+        kw = {}
+        if args.quick:
+            kw = dict(missions=("straight",), mission_speeds=(1.4,),
+                      terrains=("flat", "noise1"), frictions=(1.0,),
+                      foot_mass_scales=(1.0,), max_steps=60)
+        res = _tonp(eval_suites.eval_5k_matrix(policy_fn, **kw))
+        with open(out / "eval_5k.pkl", "wb") as f:
+            pickle.dump(res, f)
+        try:
+            report.report_5k(res, str(out / "5k.pdf"))
+        except Exception as e:
+            print("5k pdf failed:", e)
+        summary["5k"] = {"pass_rate": float(res["pass_rate"])}
+        for ax in ("by_mission", "by_speed", "by_terrain", "by_friction",
+                   "by_foot_mass"):
+            summary["5k"][ax] = {str(k): round(float(v), 3)
+                                 for k, v in res[ax].items()}
+        summary["5k"]["wall_s"] = round(time.time() - t0, 1)
+        print("5k:", summary["5k"], flush=True)
+
+    with open(out / "summary.json", "w") as f:
+        json.dump(summary, f, indent=1)
+    print(json.dumps(summary))
+    print(f"artifacts in {out}")
+
+
+if __name__ == "__main__":
+    main()
