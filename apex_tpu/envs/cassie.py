@@ -194,6 +194,26 @@ class CassieEnv(Env):
 
     def __post_init__(self):
         self.model = cassie_model(enable_hfield=self.terrain != "flat")
+        if self.terrain != "flat":
+            # 64-table terrain bank, deterministic in the terrain config
+            # (reference: fixed pregenerated terrains/*.npy files)
+            from apex_tpu.utils.terrain import noise_hfield, steps_hfield
+
+            seed = {"noise": 11, "hill": 22, "steps": 33}.get(
+                self.terrain, 0)
+            keys = jax.random.split(jax.random.PRNGKey(seed), 64)
+            if self.terrain == "noise":
+                gen = lambda k: noise_hfield(
+                    k, amplitude=self.terrain_amplitude, smoothness=3)
+            elif self.terrain == "hill":
+                gen = lambda k: noise_hfield(
+                    k, amplitude=self.terrain_amplitude, smoothness=9)
+            elif self.terrain == "steps":
+                gen = lambda k: steps_hfield(
+                    k, step_height=self.terrain_amplitude)
+            else:
+                raise ValueError(f"unknown terrain {self.terrain}")
+            self._terrain_bank = jax.jit(jax.vmap(gen))(keys)
         # input profiles: full(46)/min(21) from the consolidated env
         # (cassie.py:236-237) plus the research variants footdist(51) and
         # noaccel_footdist(44) (SURVEY.md section 2.2 #25). The research
@@ -310,21 +330,13 @@ class CassieEnv(Env):
         else:
             params, menc, jenc = default, jnp.zeros(10), jnp.zeros(6)
         if self.terrain != "flat":
-            from apex_tpu.utils.terrain import noise_hfield, steps_hfield
-
+            # draw from the pregenerated terrain bank (the reference ships
+            # fixed noise .npy terrains, terrains/*.npy; regenerating noise
+            # inside the auto-reset branch would run the smoothing convs
+            # for every env every policy step)
             k_hf = jax.random.fold_in(rng, 17)
-            if self.terrain == "noise":
-                table = noise_hfield(k_hf, amplitude=self.terrain_amplitude,
-                                     smoothness=3)
-            elif self.terrain == "hill":
-                table = noise_hfield(k_hf, amplitude=self.terrain_amplitude,
-                                     smoothness=9)
-            elif self.terrain == "steps":
-                table = steps_hfield(k_hf,
-                                     step_height=self.terrain_amplitude)
-            else:
-                raise ValueError(f"unknown terrain {self.terrain}")
-            params = params.replace(hfield=table,
+            idx = jax.random.randint(k_hf, (), 0, self._terrain_bank.shape[0])
+            params = params.replace(hfield=self._terrain_bank[idx],
                                     hfield_active=jnp.ones(()))
         return params, menc, jenc, default
 
