@@ -191,7 +191,10 @@ def eval_mission(policy_fn, mission: str = "default", simrate: int = 60,
         st, ob, fallen, progress = carry
         action = policy_fn(ob)
         st2, ob2, _r, term, _ = env.step(st, action, key)
-        progress = jnp.where(fallen, progress, st2.command_counter)
+        # schedule steps survived (command_counter itself wraps to 0 when
+        # the schedule completes, which mis-reported full runs as 0)
+        progress = progress + jnp.logical_not(fallen | term).astype(
+            jnp.int32)
         # per-step command-tracking errors (reference eval_mission.py:69-82:
         # pos/speed/orient deviation logged per step until the fall)
         qpos, qvel = st2.phys.qpos, st2.phys.qvel

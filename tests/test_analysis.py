@@ -80,3 +80,47 @@ def test_perturb_response_grid(cassie_env):
     assert res["survived"].shape == (2, 2)
     assert res["pelvis"].shape == (2, 2, 6, 7)
     assert res["push_window"] == (2, 4)
+
+
+def test_plot_policy_channel_figure(tmp_path):
+    """plot_policy channel parity (reference plot_policy.py:1-326): the
+    record_policy npz schema renders the PD-target-vs-measured / torque /
+    GRF figure without error."""
+    import importlib.util
+    import pathlib
+
+    spec = importlib.util.spec_from_file_location(
+        "plot_policy",
+        pathlib.Path(__file__).resolve().parent.parent
+        / "tools" / "plot_policy.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    T = 30
+    rng = np.random.default_rng(0)
+    rec = dict(
+        pd_target=rng.normal(0, 0.1, (T, 10)),
+        motor_pos=rng.normal(0, 0.1, (T, 10)),
+        motor_vel=np.zeros((T, 10)),
+        torque=rng.normal(0, 10, (T, 10)),
+        grf=np.abs(rng.normal(0, 100, (T, 2))),
+        foot_pos=rng.normal(0, 0.2, (T, 2, 3)),
+        qpos=rng.normal(0, 0.2, (T, 35)),
+        reward=rng.random(T),
+        speed=np.asarray(1.0),
+    )
+    out = tmp_path / "channels.png"
+    mod.plot_channels(rec, str(out))
+    assert out.exists() and out.stat().st_size > 10_000
+
+
+def test_cassie_info_carries_plot_channels(cassie_env):
+    """The env info dict exposes the recorded channel set."""
+    env = cassie_env
+    state, obs = jax.jit(env.reset)(jax.random.PRNGKey(0))
+    action = np.zeros(env.action_size)
+    _, _, _, _, info = jax.jit(env.step)(state, action,
+                                         jax.random.PRNGKey(1))
+    for k, shape in (("pd_target", (10,)), ("motor_pos", (10,)),
+                     ("motor_vel", (10,)), ("motor_torque", (10,))):
+        assert np.asarray(info[k]).shape == shape, k

@@ -63,6 +63,19 @@ def main():
     def policy_fn(obs):
         return state.actor.act(state.norm, obs, deterministic=True)
 
+    def playground_policy_fn(obs):
+        """Mission/5k suites run CassiePlayground, whose command appendix
+        is [sin, cos, speed] (49-dim with the full input profile); a
+        Cassie-v0 clock policy expects [sin, cos, speed, side_speed]
+        (50-dim). Missions command no side-speed, so append 0 -- an exact
+        semantic match, not an approximation."""
+        import jax.numpy as jnp
+
+        if obs.shape[-1] == env.observation_size - 1:
+            obs = jnp.concatenate(
+                [obs, jnp.zeros(obs.shape[:-1] + (1,))], axis=-1)
+        return state.actor.act(state.norm, obs, deterministic=True)
+
     summary = {"ckpt": str(ckpt)}
 
     if "perturb" not in skip:
@@ -101,10 +114,12 @@ def main():
     if "mission" not in skip:
         t0 = time.time()
         missions = ["default"] if args.quick else [
-            "default", "straight", "curvy", "90_left", "90_right"]
+            "default", "straight_1.4", "curvy_1.4", "90_left_1.4",
+            "90_right_1.4"]
         mres = {}
         for m in missions:
-            res = _tonp(eval_suites.eval_mission(policy_fn, mission=m))
+            res = _tonp(eval_suites.eval_mission(
+                playground_policy_fn, mission=m, simrate=env.simrate))
             np.savez(out / f"eval_mission_{m}.npz",
                      **{k: v for k, v in res.items()
                         if isinstance(v, np.ndarray)})
@@ -121,7 +136,8 @@ def main():
             kw = dict(missions=("straight",), mission_speeds=(1.4,),
                       terrains=("flat", "noise1"), frictions=(1.0,),
                       foot_mass_scales=(1.0,), max_steps=60)
-        res = _tonp(eval_suites.eval_5k_matrix(policy_fn, **kw))
+        res = _tonp(eval_suites.eval_5k_matrix(
+            playground_policy_fn, simrate=env.simrate, **kw))
         with open(out / "eval_5k.pkl", "wb") as f:
             pickle.dump(res, f)
         try:
