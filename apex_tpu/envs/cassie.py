@@ -650,7 +650,10 @@ class CassieEnv(Env):
         # ---- termination (cassie.py:462-465; clock rewards disable the
         # reward cutoff, cassie.py:772-775) ----
         height = phys.qpos[2]
-        terminated = (height < 0.4) | (height > 3.0)
+        # the isfinite guard keeps a (hypothetically) blown-up env from
+        # evading the range checks via NaN and poisoning the fleet
+        terminated = ((height < 0.4) | (height > 3.0)
+                      | jnp.logical_not(jnp.isfinite(phys.qpos).all()))
 
         # ---- random command changes (cassie.py:483-491) ----
         k1, k2, k3, k4, k5, k6 = jax.random.split(rng, 6)

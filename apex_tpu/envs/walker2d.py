@@ -82,8 +82,16 @@ class Walker2dEnv(Env):
         forward_vel = (qpos[0] - x_before) / dt
         reward = (forward_vel + self.alive_bonus
                   - self.ctrl_cost * jnp.sum(jnp.square(action)))
+        # a single non-finite reward in the replay ring would poison every
+        # critic update that ever samples it
+        reward = jnp.where(jnp.isfinite(reward), reward, 0.0)
         height, pitch = qpos[1], qpos[2]
+        # non-finite guard: NaN evades the range checks (NaN comparisons
+        # are False), so a blown-up env would never auto-reset and would
+        # poison the fleet forever
+        bad = jnp.logical_not(jnp.isfinite(qpos).all()
+                              & jnp.isfinite(qvel).all())
         terminated = ((height < 0.8) | (height > 2.0)
-                      | (jnp.abs(pitch) > 1.0))
+                      | (jnp.abs(pitch) > 1.0) | bad)
         new_state = WalkerState(qpos=qpos, qvel=qvel)
         return new_state, self._obs(qpos, qvel), reward, terminated, {}

@@ -625,8 +625,18 @@ def _joint_limit_forces_bt(model: PhysModel, dyn: FleetDyn,
     dof = st.lim_dof
     q = qpos[st.lim_qadr]                                 # (nl, B)
     qd = qvel[dof]
-    diag = dyn.Minv[np.arange(model.nv), np.arange(model.nv)]   # (nv, B)
-    m_eff = 1.0 / jnp.maximum(diag[dof], 1e-8)
+    # diagonal of Minv at the limited dofs, gathered through a FLAT index.
+    # The natural composition Minv[arange(nv), arange(nv)][dof] miscompiled
+    # on XLA:TPU when fully fused into the downstream scatter: the fused
+    # gather read a ~1e-7 off-diagonal instead of the 25.1 diagonal,
+    # m_eff exploded to ~4.5e6 and Walker2d NaN'd under TD3's random
+    # warmup within 7 steps (same graph with any intermediate materialized
+    # computes correctly; debugged r4, minimal repro preserved in the
+    # commit message).
+    nv = model.nv
+    flat_idx = np.asarray(dof, dtype=np.int32) * (nv + 1)
+    diag_dof = dyn.Minv.reshape(nv * nv, -1)[flat_idx]    # (nl, B)
+    m_eff = 1.0 / jnp.maximum(diag_dof, 1e-8)
     below = jnp.asarray(st.lim_lo)[:, None] - q
     above = q - jnp.asarray(st.lim_hi)[:, None]
     f_lo = jnp.where(below > 0, m_eff * (k_unit * below - b_unit * qd), 0.0)
@@ -741,7 +751,10 @@ def fleet_step(model: PhysModel, params_bt: PhysParams, qpos: jnp.ndarray,
                       for eq in model.equalities]), axis=0))[0]
         T = sum(J_eq[:, v, None, :] * Ainv[v, None, :, :] for v in eq_rows)
         G = sum(T[:, None, w, :] * J_eq[None, :, w, :] for w in eq_rows)
-        gdiag = G[np.arange(e), np.arange(e)]              # (e, B)
+        # flat-index diagonal gather (paired arange gathers composed with
+        # downstream ops miscompiled on XLA:TPU -- see
+        # _joint_limit_forces_bt)
+        gdiag = G.reshape(e * e, -1)[np.arange(e) * (e + 1)]   # (e, B)
         d = jax.lax.rsqrt(gdiag + 1e-12)
         Gs = d[:, None, :] * G * d[None, :, :]
         Gs = Gs.at[np.arange(e), np.arange(e)].add(1e-6)

@@ -38,3 +38,22 @@ def test_walker_total_mass_reasonable():
     # classic walker2d is ~20-60 kg depending on density details
     assert 5.0 < total < 100.0
     assert m.nq == 9 and m.nv == 9 and m.nu == 6
+
+
+def test_nonfinite_state_terminates():
+    """NaN evades range-based termination checks (NaN comparisons are
+    False); the isfinite guard must fire so a blown-up env auto-resets
+    instead of poisoning the fleet (r4: TD3 random-warmup NaN cascade)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from apex_tpu.envs.walker2d import Walker2dEnv, WalkerState
+
+    env = Walker2dEnv()
+    st, _ = env.reset(jax.random.PRNGKey(0))
+    bad = WalkerState(qpos=st.qpos.at[3].set(jnp.nan), qvel=st.qvel)
+    _, _, reward, terminated, _ = jax.jit(env.step)(
+        bad, jnp.zeros(env.action_size), jax.random.PRNGKey(1))
+    assert bool(terminated)
+    assert np.isfinite(float(reward))
