@@ -105,29 +105,59 @@ def eval_commands(
     env: CassieEnv,
     policy_fn: Callable,
     n_trials: int = 64,
-    n_commands: int = 6,
-    steps_per_command: int = 100,
+    n_commands: int = 4,
+    steps_per_command: int = 200,
     max_speed: float = 3.0,
     seed: int = 0,
 ):
-    """Random speed/orient schedules; pass = survived the whole schedule
-    (reference test_commands.py:57-123)."""
+    """Random speed/orient schedules with the reference's exact command
+    statistics (test_commands.py:66-140): speeds follow a bounded random
+    walk from 0.5 m/s with per-command deltas +-U(0.4, 1.3) (sign flipped
+    at the bounds), the heading accumulates per-command increments
+    +-U(pi/6, pi/3), the speed change lands at each block start while the
+    heading increment lands at the block MIDPOINT (staggered cadence,
+    :81-93), and the gait frequency bumps to phase_add 1.5 above 1.4 m/s
+    (:85-88). Pass = survived the whole schedule."""
 
     def single(key):
-        k_reset, k_sched, k_run = jax.random.split(key, 3)
+        k_reset, k_sp, k_mag, k_sgn, k_run = jax.random.split(key, 5)
         state, obs = env.reset(k_reset)
-        speeds = jax.random.uniform(k_sched, (n_commands,), minval=0.0,
-                                    maxval=max_speed)
-        orients = jax.random.uniform(
-            jax.random.fold_in(k_sched, 1), (n_commands,),
-            minval=-jnp.pi / 4, maxval=jnp.pi / 4)
+        # bounded random-walk speeds (test_commands.py:132-137)
+        deltas = (jax.random.uniform(k_sp, (n_commands,), minval=0.4,
+                                     maxval=1.3)
+                  * jax.random.choice(jax.random.fold_in(k_sp, 1),
+                                      jnp.asarray([-1.0, 1.0]),
+                                      (n_commands,)))
+
+        def walk(s, d):
+            d = jnp.where((s + d < 0.0) | (s + d > max_speed), -d, d)
+            return s + d, s + d
+
+        _, speeds = jax.lax.scan(walk, jnp.asarray(0.5), deltas)
+        speeds = jnp.concatenate([jnp.asarray([0.5]), speeds[:-1]])
+        # cumulative heading increments (test_commands.py:138-140)
+        incs = (jax.random.uniform(k_mag, (n_commands,), minval=jnp.pi / 6,
+                                   maxval=jnp.pi / 3)
+                * jax.random.choice(k_sgn, jnp.asarray([-1.0, 1.0]),
+                                    (n_commands,)))
+        orients = jnp.cumsum(incs)
+
+        half = steps_per_command // 2
 
         def command_block(carry, idx):
             st, ob, fallen, fail_idx = carry
-            st = st.replace(speed=speeds[idx], orient_add=orients[idx])
-            st, ob, f = _run_steps(env, policy_fn, st, ob,
-                                   jax.random.fold_in(k_run, idx),
-                                   steps_per_command)
+            # speed command at block start (+ phase_add bump >1.4 m/s)
+            st = st.replace(speed=speeds[idx],
+                            phase_add=jnp.where(speeds[idx] > 1.4, 1.5, 1.0))
+            st, ob, f1 = _run_steps(env, policy_fn, st, ob,
+                                    jax.random.fold_in(k_run, 2 * idx),
+                                    half)
+            # heading increment at block midpoint
+            st = st.replace(orient_add=orients[idx])
+            st, ob, f2 = _run_steps(env, policy_fn, st, ob,
+                                    jax.random.fold_in(k_run, 2 * idx + 1),
+                                    steps_per_command - half)
+            f = f1 | f2
             fail_idx = jnp.where(fallen | ~f, fail_idx, idx)
             return (st, ob, fallen | f, fail_idx), None
 
