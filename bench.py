@@ -186,10 +186,10 @@ def main():
         _emit("cassie_hfield_ppo_env_steps_per_s", v,
               "env-steps/s (x50 substeps)", v / anchor)
 
-    flat = run("cassie_flat", bench_cassie_ppo, 1200)
+    flat = run("cassie_flat", lambda: bench_cassie_ppo(iters=8), 1200)
 
     v = run("cassie_mesh",
-            lambda: bench_cassie_ppo(under_mesh=True), 900)
+            lambda: bench_cassie_ppo(under_mesh=True, iters=8), 900)
     if v is not None:
         _emit("cassie_ppo_mesh_env_steps_per_s", v,
               "env-steps/s (x50 substeps)",
