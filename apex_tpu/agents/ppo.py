@@ -467,12 +467,23 @@ class PPO:
         logger=None,
         save_fn: Optional[Callable[[PPOTrainState], None]] = None,
         verbose: bool = True,
+        mesh=None,
     ) -> PPOTrainState:
         """Outer loop: jitted iterations + host-side curriculum & logging
-        (reference PPO.train, ppo.py:347-505)."""
+        (reference PPO.train, ppo.py:347-505). With `mesh`, the iteration
+        runs through the manual-SPMD path (train_iter_spmd: env fleet
+        sharded along the mesh's env axis, params replicated with pmean'd
+        gradients) -- the multi-chip replacement for the reference's
+        `ray.init(redis_address=...)` cluster flag."""
         import time
 
         cfg = self.config
+        train_iter = self._train_iter
+        if mesh is not None:
+            from apex_tpu.parallel.mesh import shard_ppo_state
+
+            state = shard_ppo_state(mesh, state)
+            train_iter = self.train_iter_spmd(mesh)
         highest_reward = -np.inf
         total_steps = 0
         curr_anneal = 1.0
@@ -489,7 +500,7 @@ class PPO:
             if do_term and curr_thresh < 0.35:
                 curr_thresh = 0.1 * 1.0006 ** (itr - start_itr)
 
-            state, metrics = self._train_iter(state, jnp.asarray(curr_anneal))
+            state, metrics = train_iter(state, jnp.asarray(curr_anneal))
             metrics = {k: float(v) for k, v in metrics.items()}
             total_steps += cfg.rollout_len * cfg.num_envs
             sample_opt_time = time.time() - t0
@@ -593,4 +604,17 @@ def run_experiment(args):
     def save_fn(st):
         save_checkpoint(logger.dir, st)
 
-    return ppo.train(state, n_itr=args.n_itr, logger=logger, save_fn=save_fn)
+    # multi-chip: shard the env fleet over all visible devices through the
+    # manual-SPMD path (the reference's ray cluster flag needed nothing
+    # extra either -- same command, more machines)
+    mesh = None
+    if (jax.device_count() > 1 and not getattr(args, "recurrent", False)
+            and cfg.num_envs % jax.device_count() == 0):
+        from apex_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh()
+        print(f"env fleet sharded over {jax.device_count()} devices "
+              "(manual-SPMD data parallelism)")
+
+    return ppo.train(state, n_itr=args.n_itr, logger=logger, save_fn=save_fn,
+                     mesh=mesh)

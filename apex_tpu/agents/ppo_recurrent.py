@@ -413,7 +413,10 @@ class RecurrentPPO:
                 "ep_len": mask.sum(axis=0).mean()}
 
     # ------------------------------------------------------------------
-    def train(self, state, n_itr, logger=None, save_fn=None, verbose=True):
+    def train(self, state, n_itr, logger=None, save_fn=None, verbose=True,
+              mesh=None):
+        assert mesh is None, "recurrent PPO trains via GSPMD placement " \
+            "(shard_ppo_state), not the manual-SPMD path"
         cfg = self.config
         highest = -np.inf
         curr_anneal = 1.0
