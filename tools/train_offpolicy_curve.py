@@ -33,7 +33,8 @@ def make_env(which: str):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("algo", choices=["td3_async", "td3_sync", "ars"])
+    ap.add_argument("algo", choices=["td3_async", "td3_sync", "ars",
+                                     "ddpg", "rdpg"])
     ap.add_argument("--env", default="walker",
                     choices=["walker", "cassie_standing"])
     ap.add_argument("--timesteps", type=float, default=3e6)
@@ -68,6 +69,33 @@ def main():
                 print(f"itr {it:5d} | wall {walls[-1]:7.1f}s | "
                       f"steps {steps_l[-1] / 1e6:6.2f}M | mean {r:8.2f} | "
                       f"max {float(metrics['max_return']):8.2f}",
+                      flush=True)
+    elif args.algo in ("ddpg", "rdpg"):
+        from apex_tpu.agents.dpg import DPG, DPGConfig
+
+        cfg = DPGConfig(num_envs=args.num_envs,
+                        recurrent=args.algo == "rdpg")
+        dpg = DPG(env, cfg)
+        state = dpg.init(seed=args.seed)
+        steps_per_iter = (cfg.max_traj_len if cfg.recurrent
+                          else cfg.collect_steps) * cfg.num_envs
+        n_iters = max(1, int(args.timesteps) // steps_per_iter)
+        warmup = max(1, cfg.start_timesteps // steps_per_iter)
+        total = 0
+        for it in range(n_iters):
+            state, metrics = dpg._train_iter(state, it < warmup)
+            total += steps_per_iter
+            if it % args.eval_every == 0 or it == n_iters - 1:
+                ev = dpg._eval_iter(
+                    state, jax.random.fold_in(jax.random.PRNGKey(5), it))
+                r = float(ev["ep_return"])
+                iters.append(it)
+                walls.append(time.time() - t0)
+                rets.append(r)
+                steps_l.append(total)
+                print(f"it {it:5d} | wall {walls[-1]:7.1f}s | "
+                      f"steps {total / 1e6:6.2f}M | eval {r:8.2f} | "
+                      f"closs {float(metrics['critic_loss']):8.4f}",
                       flush=True)
     else:
         from apex_tpu.agents.td3 import TD3, TD3Config
