@@ -273,7 +273,7 @@ class PPO:
     # one full training iteration (rollout + optimize), jitted
     # ------------------------------------------------------------------
     def _train_iteration(self, state: PPOTrainState, anneal: jnp.ndarray,
-                         axis: Optional[str] = None):
+                         axis: Optional[str] = None, axis_size: int = 1):
         """One fused rollout+update iteration. axis=None is the
         single-program path (jitted by __init__). With axis="env" the
         SAME function runs as the per-device body of a shard_map over the
@@ -335,8 +335,13 @@ class PPO:
                                              traj.action).sum(-1)
 
         # ---- flatten and minibatch (ppo.py:407-443) ----
+        # Under SPMD the local shard sees N_global/axis_size samples, so
+        # the local minibatch is minibatch_size/axis_size: pmean'd grads
+        # then reproduce the single-chip global-minibatch SGD schedule
+        # exactly ("same command, more machines" -- same number of
+        # optimizer steps, same effective batch per step).
         N = T * B
-        mb = min(cfg.minibatch_size, N)
+        mb = max(1, min(cfg.minibatch_size // max(axis_size, 1), N))
         n_mb = N // mb
 
         flat = (
@@ -417,7 +422,10 @@ class PPO:
         from apex_tpu.parallel.mesh import ppo_partition_specs
 
         cache = self.__dict__.setdefault("_spmd_cache", {})
-        key = (id(mesh), axis)
+        # key on mesh identity-by-content: id(mesh) can be recycled after
+        # a Mesh is garbage-collected, returning a callable bound to dead
+        # devices (ADVICE r4)
+        key = (tuple(mesh.devices.flat), tuple(mesh.axis_names), axis)
         if key in cache:
             return cache[key]
 
@@ -427,7 +435,8 @@ class PPO:
                 lambda s, a: self._train_iteration(s, a), state, anneal)[1]
             metric_specs = jax.tree_util.tree_map(
                 lambda _: P(), metrics_shape)
-            inner = lambda st, an: self._train_iteration(st, an, axis=axis)
+            inner = lambda st, an: self._train_iteration(
+                st, an, axis=axis, axis_size=int(mesh.shape[axis]))
             sm = jax.shard_map(inner, mesh=mesh, in_specs=(specs, P()),
                                out_specs=(specs, metric_specs),
                                check_vma=False)

@@ -651,9 +651,13 @@ class CassieEnv(Env):
         # reward cutoff, cassie.py:772-775) ----
         height = phys.qpos[2]
         # the isfinite guard keeps a (hypothetically) blown-up env from
-        # evading the range checks via NaN and poisoning the fleet
+        # evading the range checks via NaN and poisoning the fleet; qvel
+        # can blow up a step before qpos does, and a NaN reward on the
+        # blow-up step would poison the fleet-wide advantage moments
         terminated = ((height < 0.4) | (height > 3.0)
-                      | jnp.logical_not(jnp.isfinite(phys.qpos).all()))
+                      | jnp.logical_not(jnp.isfinite(phys.qpos).all())
+                      | jnp.logical_not(jnp.isfinite(phys.qvel).all()))
+        reward = jnp.where(jnp.isfinite(reward), reward, 0.0)
 
         # ---- random command changes (cassie.py:483-491) ----
         k1, k2, k3, k4, k5, k6 = jax.random.split(rng, 6)

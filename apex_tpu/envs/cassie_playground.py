@@ -29,7 +29,13 @@ from apex_tpu.physics.cassie_sim import (
     static_diag,
 )
 from apex_tpu.physics.engine import PhysParams
-from apex_tpu.utils.quaternion import quat2euler
+from apex_tpu.utils.quaternion import (
+    euler2quat,
+    quat2euler,
+    quat_inverse,
+    quat_mul,
+    quat_rotate,
+)
 
 from apex_tpu.envs.cassie import NEUTRAL_FOOT_ORIENT
 
@@ -97,11 +103,25 @@ class CassiePlayground(Env):
         ext = jnp.concatenate([
             jnp.stack([jnp.sin(phase_frac), jnp.cos(phase_frac)]),
             speed[None]])
+        # rotate pelvis orientation/velocities into the commanded-heading
+        # frame (reference cassie_playground.py:578-585) -- without this
+        # the policy is blind to the mission's heading commands (the
+        # round-4 bug behind 0/2 corner missions). The reference computes
+        # orient_add = cmd - pelvis.orientation[2], indexing the QUAT's y
+        # component (~0 upright) rather than yaw -- an upstream quirk kept
+        # as-is so commanded rotation semantics match exactly.
+        orient_add = (self._cmd_orient[state.command_counter]
+                      - est.pelvis_orientation[2])
+        q = euler2quat(z=orient_add, y=jnp.zeros(()), x=jnp.zeros(()))
+        iq = quat_inverse(q)
+        new_orient = quat_mul(iq, est.pelvis_orientation)
+        new_tvel = quat_rotate(iq, est.pelvis_trans_vel)
+        new_tacc = quat_rotate(iq, est.pelvis_trans_accel)
         robot = jnp.concatenate([
             (est.pelvis_position[2] - est.terrain_height)[None],
-            est.pelvis_orientation, est.motor_position,
-            est.pelvis_trans_vel, est.pelvis_rot_vel, est.motor_velocity,
-            est.pelvis_trans_accel, est.joint_position, est.joint_velocity])
+            new_orient, est.motor_position,
+            new_tvel, est.pelvis_rot_vel, est.motor_velocity,
+            new_tacc, est.joint_position, est.joint_velocity])
         return jnp.concatenate([robot, ext])
 
     def step(self, state: PlaygroundState, action, rng):

@@ -155,22 +155,31 @@ def megakernel_mesh_check(mesh: Mesh, batch: int = 16, length: int = 5):
 
 
 def ppo_partition_specs(state, axis: str = "env"):
-    """PartitionSpec pytree matching shard_ppo_state's placement: leaves
-    with leading dim == fleet size sharded on `axis`, everything else
-    (params, opt state, rng keys -- uint32 guard, see shard_runner)
-    replicated. Works on concrete arrays and ShapeDtypeStructs."""
+    """PartitionSpec pytree matching shard_ppo_state's placement: RUNNER
+    leaves with leading dim == fleet size sharded on `axis`, everything
+    else (params, opt state, normalizer, rng keys -- uint32 guard, see
+    shard_runner) replicated. The shape heuristic is restricted to the
+    runner subtree: with e.g. 256 envs and (256, 256) MLP hidden layers,
+    applying it to the whole state would spuriously shard replicated
+    weight matrices and their Adam moments. Works on concrete arrays and
+    ShapeDtypeStructs."""
     import jax.numpy as jnp
 
     num_envs = state.runner.obs.shape[0]
+    rng_leaf = getattr(state.runner, "rng", None)
 
     def spec(x):
         shape = tuple(x.shape)
+        if x is rng_leaf:
+            return P()
         if (len(shape) >= 1 and shape[0] == num_envs
                 and x.dtype != jnp.uint32):
             return P(axis, *([None] * (len(shape) - 1)))
         return P()
 
-    return jax.tree_util.tree_map(spec, state)
+    runner_specs = jax.tree_util.tree_map(spec, state.runner)
+    rest = jax.tree_util.tree_map(lambda _: P(), state)
+    return rest.replace(runner=runner_specs)
 
 
 def shard_ppo_state(mesh: Mesh, state, axis: str = "env"):

@@ -358,9 +358,10 @@ def _gspmd_mesh_axis(batch: int):
     if am is None or getattr(am, "empty", True):
         return None
     # inside shard_map the axes are Manual: the caller already partitioned
-    # the batch; wrapping again would double-shard
+    # the batch; wrapping again would double-shard. str() of the enum is
+    # "AxisType.Manual" on the pinned jax, so match by suffix (ADVICE r4).
     types = getattr(am, "axis_types", ())
-    if any(str(t) == "Manual" for t in types):
+    if any(str(t).endswith("Manual") for t in types):
         return None
     if "env" in am.axis_names:
         name = "env"

@@ -160,3 +160,69 @@ def test_sharded_matches_single_device_rollout():
     np.testing.assert_allclose(np.asarray(traj_s.obs[0]),
                                np.asarray(traj_ref.obs[0]), rtol=1e-5,
                                atol=1e-6)
+
+
+def test_forced_megakernel_inside_shard_map(monkeypatch):
+    """ADVICE r4: when the (emulated) megakernel scan is traced INSIDE a
+    shard_map body, _gspmd_mesh_axis must recognize the axes as Manual
+    (str() of the enum is 'AxisType.Manual' on the pinned jax, not
+    'Manual') and NOT wrap a second, nested shard_map over the already
+    partitioned axis. The kernel must trace at the local shard width and
+    reproduce the unsharded numerics."""
+    import dataclasses
+
+    from jax.sharding import PartitionSpec as P
+
+    from apex_tpu.parallel import mesh as meshmod
+    from apex_tpu.physics import fleet_kernel
+    from apex_tpu.physics.cassie_sim import PDCommand, _megakernel_pd_scan
+    from apex_tpu.physics.engine import PhysParams
+    from apex_tpu.physics.mjcf import parse_mjcf_string
+
+    monkeypatch.setenv("APEX_TPU_FORCE_MEGAKERNEL", "1")
+    model = parse_mjcf_string(meshmod._POGO_XML)
+    B, nu = 16, model.nu
+    params = PhysParams.from_model(model)
+    bt = lambda x: jnp.moveaxis(
+        jnp.broadcast_to(jnp.asarray(x, jnp.float32),
+                         (B,) + jnp.shape(jnp.asarray(x))), 0, -1)
+    params_bt = jax.tree_util.tree_map(bt, params)
+    cmd = PDCommand(p_target=jnp.full((nu, B), 0.05),
+                    d_target=jnp.zeros((nu, B)),
+                    p_gain=jnp.full((nu, B), 30.0),
+                    d_gain=jnp.full((nu, B), 1.0),
+                    ff_torque=jnp.zeros((nu, B)))
+    qpos0 = 0.01 * jax.random.normal(jax.random.PRNGKey(1), (model.nq, B))
+    qvel0 = jnp.zeros((model.nv, B))
+
+    run = jax.jit(lambda p, c, q, v: _megakernel_pd_scan(model, p, c, q,
+                                                         v, 3))
+    ref = run(params_bt, cmd, qpos0, qvel0)
+    jax.block_until_ready(ref[0].qpos)
+
+    mesh = make_mesh(8)
+    lastspec = lambda t: jax.tree_util.tree_map(
+        lambda x: P(*([None] * (jnp.ndim(x) - 1) + ["env"])), t)
+
+    def body(p, c, q, v):
+        return _megakernel_pd_scan(model, p, c, q, v, 3)
+
+    args = (params_bt, cmd, qpos0, qvel0)
+    # _megakernel_pd_scan returns batch-FIRST outputs ((B, ...) leaves)
+    out_spec = jax.tree_util.tree_map(
+        lambda x: P("env", *([None] * (len(x.shape) - 1))),
+        jax.eval_shape(body, *args))
+    fleet_kernel.LAST_KERNEL_BATCH = None
+    sm = jax.jit(jax.shard_map(body, mesh=mesh,
+                               in_specs=tuple(lastspec(a) for a in args),
+                               out_specs=out_spec, check_vma=False))
+    out = sm(*args)
+    jax.block_until_ready(out[0].qpos)
+    assert fleet_kernel.LAST_KERNEL_BATCH == B // 8, (
+        f"kernel traced batch {fleet_kernel.LAST_KERNEL_BATCH}, want "
+        f"{B // 8}: the Manual-axis guard failed and the dispatch nested "
+        "a second shard_map (or did not partition at all)")
+    for a, b in zip(jax.tree_util.tree_leaves(ref),
+                    jax.tree_util.tree_leaves(out)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
