@@ -31,6 +31,11 @@ def _common_env_args(parser):
     parser.add_argument("--no_delta", default=True, action="store_true")
     parser.add_argument("--ik_baseline", default=False, action="store_true")
     parser.add_argument("--traj", default="walking", type=str)
+    # firmware estimator is the DEFAULT (reference obs are always
+    # CassieCoreSim estimator outputs, cassie.py:818-850); opt out with
+    # --estimator exact
+    parser.add_argument("--estimator", default="firmware", type=str,
+                        choices=["exact", "firmware"])
 
 
 def _env_kwargs(args):

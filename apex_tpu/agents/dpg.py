@@ -24,7 +24,8 @@ from flax import struct
 from apex_tpu.agents.replay import ReplayBuffer
 from apex_tpu.agents.rollout import episode_stats, init_runner, rollout_scan
 from apex_tpu.envs.base import Env
-from apex_tpu.models import FFQ, FFActor, GaussianLSTMActor, LSTMQ, NormState
+from apex_tpu.models import FFQ, FFActor, LSTMQ, NormState
+from apex_tpu.models.nets import LSTMActor
 from apex_tpu.models.nets import lstm_step, lstm_zero_carry
 
 
@@ -135,11 +136,13 @@ class DPG:
         rng, k_a, k_c, k_r = jax.random.split(rng, 4)
         obs_dim, act_dim = self.env.observation_size, self.env.action_size
         if cfg.recurrent:
-            # LSTM actor with deterministic head (reference uses LSTM_Actor,
-            # dpg.py via rl.policies; our GaussianLSTMActor with fixed tiny
-            # std acts deterministically through mean)
-            actor = GaussianLSTMActor.init(k_a, obs_dim, act_dim,
-                                           fixed_std=1e-6)
+            # tanh-bounded deterministic LSTM actor (reference LSTM_Actor,
+            # actor.py:74-139). Round-4 used an unbounded Gaussian mean
+            # head here; the DPG actor loss then pushes the mean beyond
+            # the action clip without limit, which is exactly the
+            # monotone policy decay recorded in curves/rdpg_walker.npz
+            actor = LSTMActor.init(k_a, obs_dim, act_dim,
+                                   max_action=cfg.max_action)
             critic = LSTMQ.init(k_c, obs_dim, act_dim)
             replay = EpisodeBuffer.create(cfg.episode_capacity,
                                           cfg.max_traj_len, obs_dim, act_dim)
@@ -256,7 +259,7 @@ class DPG:
                     minval=-cfg.max_action, maxval=cfg.max_action)
                 new_lstm = lstm_carry
             else:
-                new_lstm, (mean, _) = state.actor.step_dist(
+                new_lstm, mean = state.actor.step_act(
                     state.norm, lstm_carry, obs)
                 action = jnp.clip(
                     mean + cfg.expl_noise * jax.random.normal(key, mean.shape),
@@ -301,7 +304,7 @@ class DPG:
             next_t = tm(next_obs)
             rew_t, mask_t, nd_t = tm(reward), tm(mask), tm(not_done)
 
-            next_a, _ = actor_t.seq_dist(state.norm, next_t)
+            next_a = actor_t.seq_act(state.norm, next_t)
             q_next = critic_t.seq_q(state.norm, next_t, next_a)[..., 0]
             target = rew_t + nd_t * cfg.discount * q_next
             target = jax.lax.stop_gradient(target)
@@ -317,7 +320,7 @@ class DPG:
                 params=optax.apply_updates(critic.params, c_up))
 
             def actor_loss_fn(params):
-                a, _ = actor.replace(params=params).seq_dist(state.norm, obs_t)
+                a = actor.replace(params=params).seq_act(state.norm, obs_t)
                 q = critic.seq_q(state.norm, obs_t, a)[..., 0]
                 return -(q * mask_t).sum() / mask_t.sum()
 
@@ -363,7 +366,7 @@ class DPG:
 
             def step(carry, _):
                 r, lstm_carry = carry
-                lstm_carry, (mean, _) = state.actor.step_dist(
+                lstm_carry, mean = state.actor.step_act(
                     state.norm, lstm_carry, r.obs)
                 keys = jax.random.split(
                     jax.random.fold_in(rng, r.traj_len[0]), B)

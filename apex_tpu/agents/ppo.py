@@ -568,7 +568,8 @@ def run_experiment(args):
         dynamics_randomization=args.dyn_random, reward=args.reward,
         history=args.history, traj=getattr(args, "traj", "walking"),
         no_delta=getattr(args, "no_delta", True),
-        ik_baseline=getattr(args, "ik_baseline", False))
+        ik_baseline=getattr(args, "ik_baseline", False),
+        estimator=getattr(args, "estimator", "firmware"))
 
     # the CLI default --num_procs 64 mirrors the reference's CPU worker
     # count (apex.py:244), but a 64-env fleet leaves a TPU chip ~94% idle:

@@ -157,11 +157,12 @@ class CassieEnv(Env):
     reward: str = "early_clock"          # key of REWARD_FUNCS (+ modifiers)
     history: int = 0
     # command ranges (cassie.py:109-118)
-    # state-estimator model: "exact" outputs true sim state (the round-1/2
-    # behavior; reference estimator converges to truth in sim), "firmware"
-    # adds first-order velocity-filter lag + optional measurement noise to
-    # model CassieCoreSim estimator transients (state_out_t.h:24-78)
-    estimator: str = "exact"
+    # state-estimator model: "firmware" (DEFAULT, matching the reference
+    # where observations are always CassieCoreSim estimator outputs,
+    # cassie.py:818-850) adds first-order velocity-filter lag + optional
+    # measurement noise to model estimator transients
+    # (state_out_t.h:24-78); "exact" opts out to true sim state
+    estimator: str = "firmware"
     estimator_tau: float = 0.012
     estimator_noise: float = 0.0
     # heightfield terrain training (reference terrain xml variants +
@@ -175,6 +176,18 @@ class CassieEnv(Env):
     max_side_speed: float = 0.3
     min_side_speed: float = -0.3
     max_orient_change: float = 0.2
+    # --- heading curriculum (round-5 addition, default OFF for reference
+    # parity): with probability orient_jump_prob per step the heading
+    # command takes a LARGE instant jump with the eval suite's exact
+    # statistics (+-U(pi/6, pi/3), reference test_commands.py:138-140) on
+    # top of the reference's small +-max_orient_change drift. The
+    # reference's command/mission evals demand 30-60 deg instant turns
+    # that its small training drift never samples.
+    orient_jump_prob: float = 0.0
+    # couple gait frequency to commanded speed exactly as the command
+    # eval does (phase_add 1.5 above 1.4 m/s, test_commands.py:85-88),
+    # so the policy trains under the frequency regime it is tested in
+    speed_phase_add: bool = False
     # dynamics randomization ranges (cassie.py:149-161)
     damping_low: float = 0.3
     damping_high: float = 5.0
@@ -385,7 +398,8 @@ class CassieEnv(Env):
             prev_torque=jnp.zeros(10),
             obs_history=jnp.zeros((self.history + 1, self._base_obs)),
             l_high=jnp.zeros((), bool), r_high=jnp.zeros((), bool),
-            phase_add=jnp.ones(()),
+            phase_add=(jnp.where(speed > 1.4, 1.5, 1.0)
+                       if self.speed_phase_add else jnp.ones(())),
         )
         # populate the estimator from FK (reference reset ends with one
         # step_pd to refresh cassie_state, cassie.py:665)
@@ -393,6 +407,107 @@ class CassieEnv(Env):
         obs, hist = self._build_obs(state, est)
         state = state.replace(obs_history=hist)
         return state, obs
+
+    # ------------------------------------------------------------------
+    def reset_for_test(self, rng=None):
+        """Deterministic eval reset (reference reset_for_test,
+        cassie.py:682-733): default dynamics (dyn-rand restored to
+        defaults), zero encoder noise, orient_add 0, speed 0, phase 0,
+        grounded clock with swing 0.15 / stance 0.25. The eval harnesses
+        (commands / 5k) drive the env from this state."""
+        clock = build_clock(jnp.asarray(0.15), jnp.asarray(0.25),
+                            STANCE_GROUNDED, self.strict_relaxer,
+                            self.have_incentive, float(self._freq))
+        if self._loaded_clock is not None:
+            clock = self._loaded_clock
+        params = PhysParams.from_model(self.model)
+        phys = self._init_phys
+        state = CassieEnvState(
+            phys=phys, params=params, clock=clock, phase=jnp.zeros(()),
+            counter=jnp.zeros((), jnp.int32), time=jnp.zeros((), jnp.int32),
+            speed=jnp.zeros(()), side_speed=jnp.zeros(()),
+            orient_add=jnp.zeros(()),
+            swing_duration=jnp.asarray(0.15),
+            stance_duration=jnp.asarray(0.25),
+            stance_mode=STANCE_GROUNDED,
+            motor_enc_noise=jnp.zeros(10), joint_enc_noise=jnp.zeros(6),
+            prev_action=jnp.zeros(self.action_size),
+            prev_torque=jnp.zeros(10),
+            obs_history=jnp.zeros((self.history + 1, self._base_obs)),
+            l_high=jnp.zeros((), bool), r_high=jnp.zeros((), bool),
+            phase_add=jnp.ones(()),
+        )
+        est = estimate_state(self.model, phys,
+                             static_diag(self.model, params, phys))
+        obs, hist = self._build_obs(state, est)
+        return state.replace(obs_history=hist), obs
+
+    def update_speed_state(self, state: CassieEnvState, new_speed,
+                           new_side_speed=0.0):
+        """Functional reference update_speed (cassie.py:751-768): clamp
+        the commanded speed, recompute the speed-dependent swing/stance
+        durations and gait clock, and rescale the phase into the new
+        phaselen. The 5k harness calls this once per mission command
+        (5k_test.py:66)."""
+        speed = jnp.clip(jnp.asarray(new_speed), self.min_speed,
+                         self.max_speed)
+        side = jnp.clip(jnp.asarray(new_side_speed), self.min_side_speed,
+                        self.max_side_speed)
+        swing, stance = speed_to_durations(speed)
+        clock = build_clock(swing, stance, state.stance_mode,
+                            self.strict_relaxer, self.have_incentive,
+                            float(self._freq))
+        phase = jnp.floor(clock.phaselen * state.phase /
+                          state.clock.phaselen)
+        return state.replace(speed=speed, side_speed=side,
+                             swing_duration=swing, stance_duration=stance,
+                             clock=clock, phase=phase)
+
+    def step_basic(self, state: CassieEnvState, action, rng=None):
+        """reference step_basic (cassie.py:499-521): physics + phase
+        advance + observation -- no reward, no per-substep tracking
+        costs, no random command changes. The reference's 5k robustness
+        matrix drives the policy exclusively through this path
+        (5k_test.py:62-74), with failure detected externally as
+        qpos[2] < 0.4."""
+        m = self.model
+        if self.learn_gains:
+            targets10, gains = action[:10], action[10:]
+            p_gain = jnp.asarray(DEFAULT_P_GAIN) + jnp.concatenate(
+                [gains[0:5], gains[5:10]])
+            d_gain = jnp.asarray(DEFAULT_D_GAIN) + jnp.concatenate(
+                [gains[10:15], gains[15:20]])
+        else:
+            targets10, p_gain, d_gain = action, None, None
+        target = targets10 + self._offset - state.motor_enc_noise
+        cmd = PDCommand.from_targets(target, p_gain, d_gain)
+
+        phys, diag_seq, qvel_seq, qacc_seq = pd_scan(
+            m, state.params, state.phys, cmd, self.simrate)
+        diag_last = jax.tree_util.tree_map(lambda x: x[-1], diag_seq)
+        if self.estimator == "firmware":
+            ema_alpha = float(np.exp(-m.timestep / self.estimator_tau))
+            L = self.simrate
+            w_ema = jnp.asarray(
+                (1.0 - ema_alpha) * ema_alpha ** np.arange(L - 1, -1, -1.0))
+            ema_v = ema_alpha ** L * state.phys.qvel + w_ema @ qvel_seq
+            ema_a = ema_alpha ** L * state.phys.qacc + w_ema @ qacc_seq
+            est = estimate_state(
+                m, phys.replace(qvel=ema_v, qacc=ema_a), diag_last)
+        else:
+            est = estimate_state(m, phys, diag_last)
+
+        time_ = state.time + 1
+        phase = state.phase + state.phase_add
+        wrapped = phase > state.clock.phaselen
+        counter = state.counter + wrapped.astype(jnp.int32)
+        phase = jnp.where(wrapped, 0.0, phase)
+
+        new_state = state.replace(
+            phys=phys, phase=phase, counter=counter, time=time_,
+            prev_action=action, prev_torque=diag_last.motor_torque)
+        obs, hist = self._build_obs(new_state, est)
+        return new_state.replace(obs_history=hist), obs
 
     # ------------------------------------------------------------------
     def step(self, state: CassieEnvState, action, rng):
@@ -660,11 +775,19 @@ class CassieEnv(Env):
         reward = jnp.where(jnp.isfinite(reward), reward, 0.0)
 
         # ---- random command changes (cassie.py:483-491) ----
-        k1, k2, k3, k4, k5, k6 = jax.random.split(rng, 6)
+        k1, k2, k3, k4, k5, k6, k7, k8, k9 = jax.random.split(rng, 9)
         orient_add = state.orient_add + jnp.where(
             jax.random.randint(k1, (), 0, 300) == 0,
             jax.random.uniform(k2, (), minval=-self.max_orient_change,
                                maxval=self.max_orient_change), 0.0)
+        if self.orient_jump_prob > 0.0:
+            # heading curriculum: occasional eval-statistics jumps
+            jump_mag = (jax.random.uniform(k7, (), minval=jnp.pi / 6,
+                                           maxval=jnp.pi / 3)
+                        * jnp.where(jax.random.bernoulli(k8), 1.0, -1.0))
+            orient_add = orient_add + jnp.where(
+                jax.random.uniform(k9, ()) < self.orient_jump_prob,
+                jump_mag, 0.0)
         speed = jnp.where(
             jax.random.randint(k3, (), 0, 100) == 0,
             jnp.clip(jax.random.uniform(k4, (), minval=self.min_speed,
@@ -676,10 +799,13 @@ class CassieEnv(Env):
             jax.random.uniform(k6, (), minval=self.min_side_speed,
                                maxval=self.max_side_speed),
             state.side_speed)
+        phase_add = (jnp.where(speed > 1.4, 1.5, 1.0)
+                     if self.speed_phase_add else state.phase_add)
 
         new_state = state.replace(
             phys=phys, phase=phase, counter=counter, time=time_,
             speed=speed, side_speed=side_speed, orient_add=orient_add,
+            phase_add=phase_add,
             prev_action=action, prev_torque=motor_torque,
             l_high=l_high, r_high=r_high,
         )

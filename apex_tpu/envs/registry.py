@@ -25,7 +25,9 @@ def env_factory(env_name: str, **kwargs) -> Env:
         keys = ("simrate", "command_profile", "input_profile",
                 "dynamics_randomization", "learn_gains", "reward", "history",
                 "estimator", "estimator_tau", "estimator_noise",
-                "terrain", "terrain_amplitude")
+                "terrain", "terrain_amplitude",
+                "min_speed", "max_speed", "orient_jump_prob",
+                "speed_phase_add")
         return CassieEnv(**{k: v for k, v in kwargs.items() if k in keys})
     if name in ("cassiestanding-v0", "cassiestanding"):
         from apex_tpu.envs.cassie_standing import CassieStandingEnv

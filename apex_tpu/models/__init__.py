@@ -11,6 +11,7 @@ from apex_tpu.models.nets import (
     FFActor,
     LinearActor,
     GaussianLSTMActor,
+    LSTMActor,
     FFV,
     FFQ,
     DualQCritic,
@@ -30,6 +31,7 @@ from apex_tpu.models.distributions import DiagGaussian
 __all__ = [
     "NormState", "DiagGaussian", "normalize_obs", "normc_init", "param_count",
     "GaussianFFActor", "FFActor", "LinearActor", "GaussianLSTMActor",
+    "LSTMActor",
     "FFV", "FFQ", "DualQCritic", "LSTMV", "LSTMQ",
     "lstm_init", "lstm_step", "lstm_zero_carry",
     "LOG_STD_HI", "LOG_STD_LO",

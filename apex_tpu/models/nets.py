@@ -410,6 +410,54 @@ class GaussianLSTMActor:
 
 
 @struct.dataclass
+class LSTMActor:
+    """Deterministic tanh-bounded LSTM actor (reference LSTM_Actor,
+    actor.py:74-139: LSTM stack + bounded output head, max_action scale).
+    The recurrent DPG actor: an UNBOUNDED mean head here lets the
+    deterministic-policy-gradient loss push actions beyond the clip range
+    without limit (the round-4 RDPG critic-collapse root cause -- the
+    collected actions rail at the clip while the learned mean diverges)."""
+    params: Params
+    max_action: float = struct.field(pytree_node=False, default=1.0)
+    layers: Tuple[int, ...] = struct.field(pytree_node=False,
+                                           default=(128, 128))
+
+    @staticmethod
+    def init(rng, obs_dim, action_dim, layers=(128, 128),
+             max_action: float = 1.0) -> "LSTMActor":
+        k_cells, k_out = jax.random.split(rng)
+        params = {
+            "cells": lstm_init(k_cells, obs_dim, layers),
+            "out": _linear_init(k_out, layers[-1], action_dim),
+        }
+        return LSTMActor(params=params, max_action=max_action,
+                         layers=tuple(layers))
+
+    def _head(self, top_h):
+        a = jnp.tanh(top_h @ self.params["out"]["w"]
+                     + self.params["out"]["b"])
+        return a * self.max_action
+
+    def zero_carry(self, batch_shape=()):
+        return lstm_zero_carry(self.layers, batch_shape)
+
+    def step_act(self, norm: NormState, carry, obs):
+        carry, top = lstm_step(self.params["cells"], carry,
+                               normalize_obs(norm, obs))
+        return carry, self._head(top)
+
+    def seq_act(self, norm: NormState, obs_seq):
+        init = lstm_zero_carry(self.layers, obs_seq.shape[1:-1])
+
+        def step(carry, obs_t):
+            return lstm_step(self.params["cells"], carry,
+                             normalize_obs(norm, obs_t))
+
+        _, tops = jax.lax.scan(step, init, obs_seq)
+        return self._head(tops)
+
+
+@struct.dataclass
 class LSTMV:
     params: Params
     layers: Tuple[int, ...] = struct.field(pytree_node=False, default=(128, 128))

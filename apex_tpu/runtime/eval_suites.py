@@ -21,14 +21,21 @@ from apex_tpu.envs.cassie import CassieEnv, CassieEnvState
 from apex_tpu.utils.quaternion import quat2euler
 
 
-def _run_steps(env, policy_fn, state, obs, rng, n_steps):
-    """Scan the policy through n_steps; returns (state, obs, fallen)."""
+def _run_steps(env, policy_fn, state, obs, rng, n_steps, fail="term"):
+    """Scan the policy through n_steps; returns (state, obs, fallen).
+
+    fail="term" counts the env's own termination (height bounds; the
+    perturb suite semantics, eval_perturb.py:59-81). fail="height"
+    replicates the reference command-test criterion exactly: ONLY
+    qpos[2] < 0.4 fails a trial -- the env's `done` is ignored and
+    stepping continues (test_commands.py:113-115)."""
 
     def body(carry, key):
         st, ob, fallen = carry
         action = policy_fn(ob)
         st2, ob2, _r, term, _ = env.step(st, action, key)
-        return (st2, ob2, fallen | term), None
+        failed = (st2.phys.qpos[2] < 0.4) if fail == "height" else term
+        return (st2, ob2, fallen | failed), None
 
     keys = jax.random.split(rng, n_steps)
     (state, obs, fallen), _ = jax.lax.scan(
@@ -117,11 +124,18 @@ def eval_commands(
     +-U(pi/6, pi/3), the speed change lands at each block start while the
     heading increment lands at the block MIDPOINT (staggered cadence,
     :81-93), and the gait frequency bumps to phase_add 1.5 above 1.4 m/s
-    (:85-88). Pass = survived the whole schedule."""
+    (:85-88). Pass = qpos[2] never dropped below 0.4: the reference
+    worker ignores the env's `done` and keeps stepping (:113-115), so
+    reward-cutoff or upper-height terminations do NOT fail a trial."""
 
     def single(key):
         k_reset, k_sp, k_mag, k_sgn, k_run = jax.random.split(key, 5)
-        state, obs = env.reset(k_reset)
+        # deterministic eval start (reference reset_for_test(full_reset=
+        # True) + speed=0.5, test_commands.py:69-72): default dynamics,
+        # grounded swing-.15/stance-.25 clock held for the whole trial
+        # (block speed changes set env.speed DIRECTLY, without the
+        # update_speed clock rebuild)
+        state, obs = env.reset_for_test(k_reset)
         # bounded random-walk speeds (test_commands.py:132-137)
         deltas = (jax.random.uniform(k_sp, (n_commands,), minval=0.4,
                                      maxval=1.3)
@@ -151,12 +165,13 @@ def eval_commands(
                             phase_add=jnp.where(speeds[idx] > 1.4, 1.5, 1.0))
             st, ob, f1 = _run_steps(env, policy_fn, st, ob,
                                     jax.random.fold_in(k_run, 2 * idx),
-                                    half)
+                                    half, fail="height")
             # heading increment at block midpoint
             st = st.replace(orient_add=orients[idx])
             st, ob, f2 = _run_steps(env, policy_fn, st, ob,
                                     jax.random.fold_in(k_run, 2 * idx + 1),
-                                    steps_per_command - half)
+                                    steps_per_command - half,
+                                    fail="height")
             f = f1 | f2
             fail_idx = jnp.where(fallen | ~f, fail_idx, idx)
             return (st, ob, fallen | f, fail_idx), None
@@ -295,16 +310,27 @@ def eval_sensitivity(env_base, policy_fn, param: str = "friction",
             "survival_rate": survived.mean(axis=1)}
 
 
-DEFAULT_5K_TERRAINS = ("flat", "noise1", "noise2", "hill1", "hill2",
-                       "up_3", "down_3", "left_3", "right_3")
+DEFAULT_5K_TERRAINS = ("flat", "noise1", "noise2", "noise3", "hill1",
+                       "hill2", "hill3", "left_3", "right_3", "up_3",
+                       "down_3")
 
 
 def _terrain_config(name: str, seed: int = 0):
-    """Terrain spec -> (needs_hfield, hfield_table_or_None, floor_euler).
+    """Terrain spec -> (needs_hfield, hfield_table_or_None, floor_euler
+    (y_pitch, x_roll)).
 
-    Mirrors the reference terrain list (5k_test.py:302-304): the flat xml,
-    noisy heightfields (terrains/noise*.npy), rolling-hill heightfields
-    (rand_hill*.npy) and 3-degree tilt ramps (up/down/left/right_3)."""
+    Mirrors the reference terrain list (5k_test.py:299-301): the flat
+    xml, noisy heightfields (terrains/noise{1,2,3}.npy), rolling-hill
+    heightfields (rand_hill{1,2,3}.npy) and 3-degree tilt ramps. Tilt
+    signs follow the reference exactly (5k_test.py:35-47): left x=+3deg,
+    right x=-3deg, up y=-3deg (uphill along +x with the shared w-positive
+    euler2quat convention -- verified numerically against the reference's
+    quaternion_function.py). The reference's own down branch is dead code
+    (its elif chain tests "right" twice), so down y=+3deg implements the
+    evident intent; note a downhill mission at >=0.5 m/s is geometrically
+    capped by the ABSOLUTE qpos[2] < 0.4 failure criterion (the pelvis
+    drops ~0.05 m per meter travelled), in our harness and the
+    reference's alike."""
     import hashlib
 
     from apex_tpu.utils.terrain import noise_hfield
@@ -324,9 +350,9 @@ def _terrain_config(name: str, seed: int = 0):
         return True, np.asarray(noise_hfield(key, amplitude=0.15,
                                              smoothness=8)), (0.0, 0.0)
     if name == "up_3":
-        return False, None, (tilt, 0.0)
-    if name == "down_3":
         return False, None, (-tilt, 0.0)
+    if name == "down_3":
+        return False, None, (tilt, 0.0)
     if name == "left_3":
         return False, None, (0.0, tilt)
     if name == "right_3":
@@ -334,98 +360,146 @@ def _terrain_config(name: str, seed: int = 0):
     raise ValueError(f"unknown terrain {name}")
 
 
-def eval_5k_matrix(policy_fn,
-                   missions=("straight", "curvy", "90_left", "90_right"),
-                   mission_speeds=(0.5, 1.4, 2.8),
+def eval_5k_matrix(policy_fn, env,
+                   missions=("curvy", "straight", "90_left", "90_right"),
+                   mission_speeds=(0.5, 0.9, 1.4, 1.9, 2.3, 2.8),
                    terrains=DEFAULT_5K_TERRAINS,
-                   frictions=(0.8, 1.0, 1.2),
-                   foot_mass_scales=(0.8, 1.0, 1.2),
-                   simrate: int = 60,
-                   max_steps: int = 900,
-                   seed: int = 0,
-                   env_base=None):
-    """The reference's full "5k" robustness matrix (5k_test.py:330-391):
-    missions x mission-speeds x terrains (flat / noise+hill heightfields /
-    3-degree tilts) x frictions x foot masses. A trial runs the mission's
-    command schedule on CassiePlayground; pass = not falling before the
-    schedule ends (5k_test.py:19-74).
+                   frictions=None,
+                   foot_mass_scales=None,
+                   max_steps: int = 0,
+                   seed: int = 0):
+    """The reference's full "5k" robustness matrix, at reference
+    semantics (5k_test.py:19-74, 296-311):
 
-    frictions / foot_mass_scales are multiples of the model defaults
-    (reference sweeps .8x..1.2x, 5k_test.py:307-310). Returns the pass
-    tensor plus per-axis pass-rate breakdowns (report_stats,
+      * the trial drives the policy's own TRAINING env (env_fn() from
+        experiment.pkl), not the playground: per mission-schedule step it
+        applies update_speed(speeds[i]) + orient_add = orients[i] and
+        advances through step_basic (no reward, no random command
+        changes);
+      * dynamics are the model DEFAULTS with the cell's friction /
+        foot-mass overrides (reset_for_test restores defaults);
+      * the ONLY failure criterion is qpos[2] < 0.4 at any point before
+        the schedule ends.
+
+    Default grid = the reference full test (5k_test.py:299-311):
+    4 missions x 6 speeds x 11 terrains x 19 frictions (.8x..1.2x) x
+    19 foot masses (.8x..1.2x). The shipped reference artifact
+    (trained_models/nodelta_.../5k_test.pkl, 17328 entries) covers the
+    first TWO terrains (flat + noise1) of this grid; report that subset
+    separately when comparing. max_steps > 0 truncates schedules (tests).
+
+    Returns the pass tensor plus per-axis breakdowns (report_stats,
     5k_test.py:230-285)."""
-    from apex_tpu.envs.cassie_playground import CassiePlayground
+    from apex_tpu.envs.trajectory import CommandTrajectory
     from apex_tpu.utils.quaternion import euler2quat
+
+    if frictions is None:
+        frictions = tuple(np.round(np.linspace(0.8, 1.2, 19), 6))
+    if foot_mass_scales is None:
+        foot_mass_scales = tuple(np.round(np.linspace(0.8, 1.2, 19), 6))
+    if not env.model.enable_hfield and any(
+            t.startswith(("noise", "hill")) for t in terrains):
+        # heightfield terrains need the hfield-enabled model; plane cells
+        # run through it identically with hfield_active=0
+        import dataclasses as _dc
+
+        env = _dc.replace(env, terrain="noise")
 
     shape = (len(missions), len(mission_speeds), len(terrains),
              len(frictions), len(foot_mass_scales))
     passed = np.zeros(shape, dtype=bool)
 
-    fr = jnp.asarray(np.repeat(frictions, len(foot_mass_scales)), jnp.float32)
+    fr = jnp.asarray(np.repeat(frictions, len(foot_mass_scales)),
+                     jnp.float32)
     fm = jnp.asarray(np.tile(foot_mass_scales, len(frictions)), jnp.float32)
     Bcell = fr.shape[0]
-
-    envs = {}   # (mission_name, hfield) -> (env, jitted cell fn)
-
-    def _make_cell_fn(env, needs_hf):
-        """One jitted program per (mission, hfield) env, with the
-        heightfield table and floor-tilt euler angles as TRACED arguments —
-        every terrain in the grid reuses the same compilation instead of
-        recompiling the full rollout per cell."""
-        foot_ids = [env.model.body_id("left-foot"),
-                    env.model.body_id("right-foot")]
-        steps = min(max_steps, env.trajlen - 1)
-
-        def single(fric, fmass, hf_table, ey, ex, k):
-            k_reset, k_run = jax.random.split(k)
-            state, obs = env.reset(k_reset)
-            p = state.params
-            mass = p.body_mass
-            for fid in foot_ids:
-                mass = mass.at[fid].multiply(fmass)
-            p = p.replace(friction=p.friction * fric, body_mass=mass,
-                          floor_quat=euler2quat(z=jnp.zeros(()), y=ey, x=ex))
-            if needs_hf:
-                p = p.replace(hfield=hf_table,
-                              hfield_active=jnp.ones(()))
-            state = state.replace(params=p)
-            _, _, fallen = _run_steps(env, policy_fn, state, obs, k_run,
-                                      steps)
-            return jnp.logical_not(fallen)
-
-        return jax.jit(jax.vmap(single,
-                                in_axes=(0, 0, None, None, None, 0)))
-
+    foot_ids = [env.model.body_id("left-foot"),
+                env.model.body_id("right-foot")]
     dummy_hf = jnp.zeros_like(jnp.asarray(
         _terrain_config("noise1", seed)[1], jnp.float32))
 
+    def single(speeds, orients, n_real, fric, fmass, hf_table, hf_active,
+               ey, ex, key):
+        state, obs = env.reset_for_test(key)
+        p = state.params
+        mass = p.body_mass
+        for fid in foot_ids:
+            mass = mass.at[fid].multiply(fmass)
+        p = p.replace(
+            friction=p.friction * fric, body_mass=mass,
+            floor_quat=euler2quat(z=jnp.zeros(()), y=ey, x=ex),
+            hfield=hf_table, hfield_active=hf_active)
+        state = state.replace(params=p)
+
+        def body(carry, cmd):
+            st, ob, fallen = carry
+            i, sp, orr = cmd
+            st = env.update_speed_state(st, sp)
+            st = st.replace(orient_add=orr)
+            st2, ob2 = env.step_basic(st, policy_fn(ob))
+            # schedules are padded to the grid max length so every
+            # (mission, speed) pair reuses ONE compiled program; steps
+            # past the real schedule end cannot fail the trial
+            fallen = fallen | ((st2.phys.qpos[2] < 0.4) & (i < n_real))
+            return (st2, ob2, fallen), None
+
+        L = speeds.shape[0]
+        (_, _, fallen), _ = jax.lax.scan(
+            body, (state, obs, jnp.zeros((), bool)),
+            (jnp.arange(L), speeds, orients))
+        return jnp.logical_not(fallen)
+
+    # one trial per (terrain, friction, foot-mass): terrains fold into the
+    # vmapped batch via per-trial hfield tables / tilt angles
+    cell_fn = jax.jit(jax.vmap(
+        single, in_axes=(None, None, None, 0, 0, 0, 0, 0, 0, 0)))
+
+    scheds = {}
+    for mission in missions:
+        for speed in mission_speeds:
+            cmd = CommandTrajectory(f"{mission}_{speed}")
+            n = cmd.trajlen - 1
+            if max_steps:
+                n = min(n, max_steps)
+            scheds[(mission, speed)] = (cmd.speed_cmd[:n], cmd.orient[:n],
+                                        n)
+    maxlen = max(v[2] for v in scheds.values())
+
+    n_t = len(terrains)
+    hf_tables, hf_act, eys, exs = [], [], [], []
+    for terrain in terrains:
+        needs_hf, table, euler = _terrain_config(terrain, seed)
+        hf_tables.append(jnp.asarray(table, jnp.float32) if needs_hf
+                         else dummy_hf)
+        hf_act.append(1.0 if needs_hf else 0.0)
+        eys.append(euler[0])
+        exs.append(euler[1])
+    rep = lambda x: jnp.repeat(jnp.asarray(x, jnp.float32), Bcell, axis=0)
+    hf_b = rep(jnp.stack(hf_tables))           # (n_t*Bcell, res, res)
+    act_b, ey_b, ex_b = rep(hf_act), rep(eys), rep(exs)
+    fr_b = jnp.tile(fr, n_t)
+    fm_b = jnp.tile(fm, n_t)
+
     for mi, mission in enumerate(missions):
         for si, speed in enumerate(mission_speeds):
-            mname = f"{mission}_{speed}"
-            for ti, terrain in enumerate(terrains):
-                needs_hf, table, euler = _terrain_config(terrain, seed)
-                ekey = (mname, needs_hf)
-                if ekey not in envs:
-                    env = CassiePlayground(
-                        mission=mname, simrate=simrate, hfield=needs_hf)
-                    envs[ekey] = (env, _make_cell_fn(env, needs_hf))
-                _, cell_fn = envs[ekey]
-                key = jax.random.fold_in(
-                    jax.random.PRNGKey(seed), mi * 1000 + si * 100 + ti)
-                keys = jax.random.split(key, Bcell)
-                hf = (jnp.asarray(table, jnp.float32) if needs_hf
-                      else dummy_hf)
-                cell = np.asarray(cell_fn(
-                    fr, fm, hf, jnp.asarray(euler[0], jnp.float32),
-                    jnp.asarray(euler[1], jnp.float32), keys))
-                passed[mi, si, ti] = cell.reshape(len(frictions),
-                                                  len(foot_mass_scales))
+            sp, orr, n = scheds[(mission, speed)]
+            sp = np.concatenate([sp, np.full(maxlen - n, sp[-1])])
+            orr = np.concatenate([orr, np.full(maxlen - n, orr[-1])])
+            key = jax.random.fold_in(jax.random.PRNGKey(seed),
+                                     mi * 1000 + si * 100)
+            keys = jax.random.split(key, n_t * Bcell)
+            cell = np.asarray(cell_fn(
+                jnp.asarray(sp, jnp.float32), jnp.asarray(orr, jnp.float32),
+                jnp.asarray(n, jnp.int32), fr_b, fm_b, hf_b, act_b, ey_b,
+                ex_b, keys))
+            passed[mi, si] = cell.reshape(n_t, len(frictions),
+                                          len(foot_mass_scales))
 
     def axis_rate(axis_names, axis):
         keep = tuple(i for i in range(passed.ndim) if i != axis)
         return dict(zip(axis_names, passed.mean(axis=keep)))
 
-    return {
+    out = {
         "grid": dict(missions=missions, mission_speeds=mission_speeds,
                      terrains=terrains, frictions=frictions,
                      foot_mass_scales=foot_mass_scales),
@@ -437,6 +511,12 @@ def eval_5k_matrix(policy_fn,
         "by_friction": axis_rate(frictions, 3),
         "by_foot_mass": axis_rate(foot_mass_scales, 4),
     }
+    # the subset the reference artifact actually covers (flat + noise1)
+    ref_terr = [t for t in ("flat", "noise1") if t in terrains]
+    if ref_terr:
+        idx = [terrains.index(t) for t in ref_terr]
+        out["pass_rate_ref_subset"] = passed[:, :, idx].mean()
+    return out
 
 
 def compare_policies(path_a: str, path_b: str, n_episodes: int = 32,

@@ -38,7 +38,11 @@ def load_experiment(path: str):
         reward=getattr(args, "reward", "early_clock"),
         history=getattr(args, "history", 0),
         estimator=getattr(args, "estimator", "exact"),
-        terrain=getattr(args, "terrain", "flat"))
+        terrain=getattr(args, "terrain", "flat"),
+        min_speed=getattr(args, "min_speed", -0.3),
+        max_speed=getattr(args, "max_speed", 4.0),
+        orient_jump_prob=getattr(args, "orient_jump_prob", 0.0),
+        speed_phase_add=getattr(args, "speed_phase_add", False))
 
     cfg = PPOConfig(
         num_envs=getattr(args, "num_procs", 64),

@@ -134,7 +134,7 @@ def test_firmware_estimator_lags_velocities():
     channels must report an EMA-lagged stream (smaller magnitude during a
     transient than the exact state), physics itself unchanged."""
     kw = dict(dynamics_randomization=False, reward="early_clock")
-    e_exact = CassieEnv(**kw)
+    e_exact = CassieEnv(estimator="exact", **kw)
     e_fw = CassieEnv(estimator="firmware", **kw)
     s0, _ = jax.jit(e_exact.reset)(jax.random.PRNGKey(0))
     a = jnp.zeros(10)
@@ -160,3 +160,68 @@ def test_firmware_estimator_noise_is_stochastic():
     _, o2, _, _, _ = jax.jit(e.step)(s0, a, jax.random.PRNGKey(2))
     # same dynamics, different measurement noise on the velocity channels
     assert float(jnp.abs(o1[15:18] - o2[15:18]).max()) > 1e-4
+
+
+def test_reset_for_test_is_deterministic_default_dynamics():
+    """reference reset_for_test (cassie.py:682-733): even with dyn-rand
+    ON, the eval reset restores DEFAULT dynamics, zero encoder noise,
+    speed 0, phase 0, grounded swing-.15/stance-.25 clock."""
+    from apex_tpu.physics.engine import PhysParams
+
+    e = CassieEnv(dynamics_randomization=True, reward="early_clock")
+    s, obs = jax.jit(e.reset_for_test)(jax.random.PRNGKey(0))
+    default = PhysParams.from_model(e.model)
+    np.testing.assert_allclose(np.asarray(s.params.dof_damping),
+                               np.asarray(default.dof_damping))
+    np.testing.assert_allclose(np.asarray(s.params.friction),
+                               np.asarray(default.friction))
+    assert float(s.speed) == 0.0 and float(s.phase) == 0.0
+    np.testing.assert_allclose(float(s.swing_duration), 0.15, rtol=1e-6)
+    np.testing.assert_allclose(float(s.stance_duration), 0.25, rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(s.motor_enc_noise), 0.0)
+    # deterministic: two resets agree bitwise
+    s2, obs2 = jax.jit(e.reset_for_test)(jax.random.PRNGKey(7))
+    np.testing.assert_array_equal(np.asarray(obs), np.asarray(obs2))
+
+
+def test_step_basic_matches_step_physics():
+    """step_basic (reference cassie.py:499-521) must advance the same
+    physics as step -- same qpos after one control step from the same
+    state -- while skipping reward and random command changes."""
+    e = CassieEnv(dynamics_randomization=False, reward="early_clock")
+    s0, _ = jax.jit(e.reset_for_test)(jax.random.PRNGKey(0))
+    a = jnp.asarray(np.random.default_rng(0).normal(0, 0.1, 10),
+                    jnp.float32)
+    s1, o1 = jax.jit(e.step_basic)(s0, a)
+    s2, o2, _r, _t, _ = jax.jit(e.step)(s0, a, jax.random.PRNGKey(1))
+    np.testing.assert_allclose(np.asarray(s1.phys.qpos),
+                               np.asarray(s2.phys.qpos), rtol=1e-6,
+                               atol=1e-7)
+    # basic path must NOT touch commands
+    assert float(s1.speed) == float(s0.speed)
+    assert float(s1.orient_add) == float(s0.orient_add)
+    assert int(s1.time) == 1 and float(s1.phase) == float(s0.phase) + 1.0
+
+
+def test_update_speed_state_rebuilds_clock():
+    """update_speed (reference cassie.py:751-768): clamps speed,
+    recomputes speed-dependent swing/stance durations + clock, rescales
+    phase into the new phaselen."""
+    from apex_tpu.rewards.clock import speed_to_durations
+
+    e = CassieEnv(dynamics_randomization=False, reward="early_clock")
+    s, _ = jax.jit(e.reset_for_test)(jax.random.PRNGKey(0))
+    s = s.replace(phase=jnp.asarray(4.0))
+    s2 = jax.jit(e.update_speed_state)(s, jnp.asarray(2.0))
+    sw, st = speed_to_durations(2.0)
+    np.testing.assert_allclose(float(s2.swing_duration), float(sw),
+                               rtol=1e-6)
+    np.testing.assert_allclose(float(s2.stance_duration), float(st),
+                               rtol=1e-6)
+    # phase rescaled by the phaselen ratio, floored (reference int())
+    expect = np.floor(float(s2.clock.phaselen) * 4.0 /
+                      float(s.clock.phaselen))
+    assert float(s2.phase) == expect
+    # clamp to max_speed
+    s3 = jax.jit(e.update_speed_state)(s, jnp.asarray(99.0))
+    assert float(s3.speed) == e.max_speed

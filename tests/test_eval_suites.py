@@ -44,22 +44,14 @@ def test_command_following_runs(env_and_policy):
 
 
 def test_5k_matrix_runs(env_and_policy):
-    """Full-axis 5k grid (reference 5k_test.py:330-391): missions x speeds
-    x terrains (incl. a heightfield and a tilt) x frictions x foot masses,
-    with per-axis breakdowns."""
-    # 5k runs on CassiePlayground (obs 49, reference 5k_test.py uses the
-    # mission env); build a playground-sized policy
-    from apex_tpu.envs.cassie_playground import CassiePlayground
+    """Reference-semantics 5k grid (5k_test.py:19-74, 296-311): the trial
+    drives the policy's TRAINING env via update_speed + orient_add +
+    step_basic, failure = qpos[2] < 0.4 only; missions x speeds x
+    terrains (incl. a heightfield and a tilt) x frictions x foot
+    masses, with per-axis breakdowns."""
+    env, policy_fn = env_and_policy
 
-    actor = GaussianFFActor.init(jax.random.PRNGKey(1),
-                                 CassiePlayground.observation_size, 10,
-                                 fixed_std=0.1)
-    norm = NormState.create(CassiePlayground.observation_size)
-
-    def policy_fn(obs):
-        return actor.act(norm, obs, deterministic=True)
-
-    out = eval_5k_matrix(policy_fn, missions=("straight",),
+    out = eval_5k_matrix(policy_fn, env, missions=("straight",),
                          mission_speeds=(0.9,),
                          terrains=("flat", "noise1", "up_3"),
                          frictions=(1.0,), foot_mass_scales=(1.0, 1.2),
@@ -67,6 +59,8 @@ def test_5k_matrix_runs(env_and_policy):
     assert out["passed"].shape == (1, 1, 3, 1, 2)
     assert set(out["by_terrain"]) == {"flat", "noise1", "up_3"}
     assert 0.0 <= out["pass_rate"] <= 1.0
+    # flat is in the grid -> the reference-artifact subset is reported
+    assert 0.0 <= out["pass_rate_ref_subset"] <= 1.0
 
 
 def test_pdf_reports(tmp_path):

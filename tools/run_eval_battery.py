@@ -80,7 +80,11 @@ def main():
 
     if "perturb" not in skip:
         t0 = time.time()
-        kw = dict(num_angles=4, num_phases=2) if args.quick else {}
+        # max_force above the round-4 cap (the flagship maxed the 200 N
+        # sweep at every angle; the reference sweeps unbounded in 10 N
+        # increments, eval_perturb.py:104)
+        kw = (dict(num_angles=4, num_phases=2) if args.quick
+              else dict(max_force=350.0))
         res = _tonp(eval_suites.eval_perturbation(env, policy_fn, **kw))
         np.savez(out / "eval_perturbs.npz", angles=res["angles"],
                  forces=res["forces"], survival=res["survival"],
@@ -98,7 +102,10 @@ def main():
 
     if "commands" not in skip:
         t0 = time.time()
-        kw = dict(n_trials=8, n_commands=2) if args.quick else {}
+        # reference artifact scale: eval_commands.npy has 10,000 rows
+        # (test_commands.py:170); on-device this is one vmap
+        kw = (dict(n_trials=8, n_commands=2) if args.quick
+              else dict(n_trials=10000))
         res = _tonp(eval_suites.eval_commands(env, policy_fn, **kw))
         np.savez(out / "eval_commands.npz",
                  **{k: v for k, v in res.items()
@@ -108,6 +115,11 @@ def main():
             for k, v in res.items() if not isinstance(v, dict)}
         summary["commands"] = {k: v for k, v in summary["commands"].items()
                                if v is not None}
+        n = len(res["passed"])
+        p = float(res["passed"].mean())
+        summary["commands"]["n_trials"] = n
+        summary["commands"]["ci95"] = round(
+            1.96 * (p * (1 - p) / max(n, 1)) ** 0.5, 4)
         summary["commands"]["wall_s"] = round(time.time() - t0, 1)
         print("commands:", summary["commands"], flush=True)
 
@@ -136,8 +148,10 @@ def main():
             kw = dict(missions=("straight",), mission_speeds=(1.4,),
                       terrains=("flat", "noise1"), frictions=(1.0,),
                       foot_mass_scales=(1.0,), max_steps=60)
-        res = _tonp(eval_suites.eval_5k_matrix(
-            playground_policy_fn, simrate=env.simrate, **kw))
+        # reference semantics: the 5k drives the policy's own training
+        # env (update_speed + orient_add + step_basic, fail only on
+        # qpos[2] < 0.4; 5k_test.py:19-74) over the FULL reference grid
+        res = _tonp(eval_suites.eval_5k_matrix(policy_fn, env, **kw))
         with open(out / "eval_5k.pkl", "wb") as f:
             pickle.dump(res, f)
         try:
@@ -145,6 +159,11 @@ def main():
         except Exception as e:
             print("5k pdf failed:", e)
         summary["5k"] = {"pass_rate": float(res["pass_rate"])}
+        if "pass_rate_ref_subset" in res:
+            # the subset the reference artifact covers (flat+noise1):
+            # compare against its 48.0% (nodelta_.../5k_test.pkl)
+            summary["5k"]["pass_rate_ref_subset"] = float(
+                res["pass_rate_ref_subset"])
         for ax in ("by_mission", "by_speed", "by_terrain", "by_friction",
                    "by_foot_mass"):
             summary["5k"][ax] = {str(k): round(float(v), 3)

@@ -33,7 +33,7 @@ import numpy as np
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("which", choices=["cassie", "walker"])
+    ap.add_argument("which", choices=["cassie", "walker", "traj"])
     ap.add_argument("--n-itr", type=int, default=300)
     ap.add_argument("--num-envs", type=int, default=1024)
     ap.add_argument("--seed", type=int, default=0)
@@ -49,13 +49,28 @@ def main():
     ap.add_argument("--dyn-random", action="store_true",
                     help="dynamics randomization ON (the reference's "
                     "flagship training config, cassie.py:567-657)")
-    ap.add_argument("--estimator", default="exact",
+    ap.add_argument("--estimator", default="firmware",
                     choices=["exact", "firmware"],
                     help="state-estimator model (firmware = lag+noise "
-                    "proxy of CassieCoreSim transients)")
+                    "proxy of CassieCoreSim transients; the default, as "
+                    "the reference's obs are always estimator outputs)")
     ap.add_argument("--terrain", default="flat",
                     choices=["flat", "noise", "hill", "steps"])
     ap.add_argument("--terrain-amplitude", type=float, default=0.05)
+    ap.add_argument("--simrate", type=int, default=50,
+                    help="2 kHz substeps per policy step (reference "
+                    "flagship policies shipped at 60)")
+    ap.add_argument("--min-speed", type=float, default=-0.3)
+    ap.add_argument("--max-speed", type=float, default=4.0)
+    ap.add_argument("--orient-jump-prob", type=float, default=0.0,
+                    help="heading curriculum: per-step probability of an "
+                    "eval-statistics +-U(30,60)deg instant heading jump")
+    ap.add_argument("--speed-phase-add", action="store_true",
+                    help="couple gait frequency to speed as the command "
+                    "eval does (phase_add 1.5 above 1.4 m/s)")
+    ap.add_argument("--max-incline", type=float, default=None,
+                    help="dyn-rand floor slope range in rad (reference "
+                    "default 0.03; the 5k tilt terrains are 3deg=0.052)")
     ap.add_argument("--name", default=None)
     ap.add_argument("--resume", default=None,
                     help="checkpoint dir to continue from (fresh runner; "
@@ -71,8 +86,25 @@ def main():
         env = CassieEnv(dynamics_randomization=args.dyn_random,
                         reward=args.reward, estimator=args.estimator,
                         terrain=args.terrain,
-                        terrain_amplitude=args.terrain_amplitude)
+                        terrain_amplitude=args.terrain_amplitude,
+                        simrate=args.simrate,
+                        min_speed=args.min_speed, max_speed=args.max_speed,
+                        orient_jump_prob=args.orient_jump_prob,
+                        speed_phase_add=args.speed_phase_add,
+                        **({"max_pitch_incline": args.max_incline,
+                            "max_roll_incline": args.max_incline}
+                           if args.max_incline is not None else {}))
         env_name = "Cassie-v0"
+    elif args.which == "traj":
+        # north-star config #5 (BASELINE.json): CassieTraj-v0
+        # reference-trajectory PPO on the agility walking trajectory
+        from apex_tpu.envs.cassie_traj import CassieTrajEnv
+
+        env = CassieTrajEnv(
+            dynamics_randomization=args.dyn_random,
+            reward=args.reward if args.reward != "early_clock"
+            else "iros_paper", simrate=args.simrate)
+        env_name = "CassieTraj-v0"
     else:
         from apex_tpu.envs.walker2d import Walker2dEnv
 
@@ -95,11 +127,15 @@ def main():
             "num_procs": cfg.num_envs, "num_steps": cfg.num_steps,
             "max_traj_len": cfg.max_traj_len, "std_dev": args.std,
             "mirror": True, "dyn_random": getattr(args, "dyn_random", False),
-            "simrate": 50,
+            "simrate": getattr(args, "simrate", 50),
             "command_profile": "clock", "input_profile": "full",
             "learn_gains": False, "history": 0, "seed": args.seed,
             "estimator": getattr(args, "estimator", "exact"),
             "terrain": getattr(args, "terrain", "flat"),
+            "min_speed": getattr(args, "min_speed", -0.3),
+            "max_speed": getattr(args, "max_speed", 4.0),
+            "orient_jump_prob": getattr(args, "orient_jump_prob", 0.0),
+            "speed_phase_add": getattr(args, "speed_phase_add", False),
         }, f)
 
     ppo = PPO(env, cfg)
