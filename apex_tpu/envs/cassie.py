@@ -443,12 +443,21 @@ class CassieEnv(Env):
         return state.replace(obs_history=hist), obs
 
     def update_speed_state(self, state: CassieEnvState, new_speed,
-                           new_side_speed=0.0):
+                           new_side_speed=0.0, quantize_phase: bool = True):
         """Functional reference update_speed (cassie.py:751-768): clamp
         the commanded speed, recompute the speed-dependent swing/stance
         durations and gait clock, and rescale the phase into the new
         phaselen. The 5k harness calls this once per mission command
-        (5k_test.py:66)."""
+        (5k_test.py:66).
+
+        quantize_phase=True floors the rescaled phase exactly like the
+        reference's int() cast. NOTE a measured consequence: called
+        per-step during a mission speed RAMP, the floor cancels the +1
+        phase advance (floor(phase * ~0.999) + 1 == phase), so the gait
+        clock FREEZES for the entire ramp (~120 steps on straight_1.4).
+        The reference's own 5k inherits this quirk; our 5k harness opts
+        out with quantize_phase=False (continuous rescale) -- see
+        PARITY.md (deliberate divergence)."""
         speed = jnp.clip(jnp.asarray(new_speed), self.min_speed,
                          self.max_speed)
         side = jnp.clip(jnp.asarray(new_side_speed), self.min_side_speed,
@@ -457,8 +466,9 @@ class CassieEnv(Env):
         clock = build_clock(swing, stance, state.stance_mode,
                             self.strict_relaxer, self.have_incentive,
                             float(self._freq))
-        phase = jnp.floor(clock.phaselen * state.phase /
-                          state.clock.phaselen)
+        phase = clock.phaselen * state.phase / state.clock.phaselen
+        if quantize_phase:
+            phase = jnp.floor(phase)
         return state.replace(speed=speed, side_speed=side,
                              swing_duration=swing, stance_duration=stance,
                              clock=clock, phase=phase)

@@ -434,6 +434,11 @@ def eval_5k_matrix(policy_fn, env,
         def body(carry, cmd):
             st, ob, fallen = carry
             i, sp, orr = cmd
+            # reference-exact update_speed incl. the int() phase rescale,
+            # whose per-step application FREEZES the gait clock for the
+            # length of a mission speed ramp (see update_speed_state
+            # docstring) -- the reference's artifact policies were
+            # measured under exactly this quirk, so the harness keeps it
             st = env.update_speed_state(st, sp)
             st = st.replace(orient_add=orr)
             st2, ob2 = env.step_basic(st, policy_fn(ob))

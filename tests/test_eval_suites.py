@@ -130,3 +130,25 @@ def test_scripted_drive(tmp_path):
     np.testing.assert_allclose(res["phase_add"][5:7], 1.1, atol=1e-6)
     # 'r' at 8 resets: phase_add back to 1.0, speed re-randomized
     np.testing.assert_allclose(res["phase_add"][8:], 1.0, atol=1e-6)
+
+
+def test_eval_commands_on_committed_flagship():
+    """Mid-scale suite-semantics fixture (VERDICT r4 weak #5): the
+    committed mk4-hardened flagship is a known-good walker, so a short
+    command trial must PASS -- a harness regression (wrong failure
+    criterion, broken reset_for_test state, command plumbing) shows up
+    as an immediate fail here without re-running the full battery."""
+    from apex_tpu.runtime.evaluate import load_experiment
+
+    ppo, state, _ = load_experiment("curves/cassie_mk4_hardened_ckpt")
+    env = ppo.env
+
+    def policy_fn(obs):
+        return state.actor.act(state.norm, obs, deterministic=True)
+
+    from apex_tpu.runtime.eval_suites import eval_commands as ec
+
+    out = ec(env, policy_fn, n_trials=2, n_commands=1,
+             steps_per_command=30, seed=0)
+    # 30 steps at speed 0.5 from standing: the flagship does not fall
+    assert out["pass_rate"] == 1.0, out
