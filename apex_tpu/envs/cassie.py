@@ -666,12 +666,23 @@ class CassieEnv(Env):
         pel_stable_seq = 0.05 * (jnp.abs(qvel_seq[:, 3:6]).sum(axis=-1)
                                  + jnp.abs(qacc_seq[:, 0:3]).sum(axis=-1))
 
-        l_foot_frc = l_frc_seq.mean()
-        r_foot_frc = r_frc_seq.mean()
+        # ---- one fused reduction over the substep axis: the ~20 per-
+        # substep cost sequences collapse through a single stacked mean
+        # instead of ~20 tiny launch-bound reduction kernels (round-4
+        # phase breakdown: the env tracking layer's sequence reductions
+        # were 28% of the iteration) ----
+        cost_stack = jnp.stack([
+            l_frc_seq, r_frc_seq, l_or, r_or, hiproll_seq, hipyaw_seq,
+            l_smooth_seq, r_smooth_seq, l_var_seq, r_var_seq, l_ck_seq,
+            r_ck_seq, l_cost_seq, r_cost_seq, l_even_seq, r_even_seq,
+            torque_seq, smooth_seq, l_ry_seq, r_ry_seq, pel_stable_seq])
+        (l_foot_frc, r_foot_frc, l_orient_cost, r_orient_cost,
+         hiproll_cost, hipyaw_cost, l_smooth_cost, r_smooth_cost,
+         l_var_cost, r_var_cost, l_ck_cost, r_ck_cost, l_foot_cost,
+         r_foot_cost, l_even_cost, r_even_cost, torque_cost, smooth_cost,
+         l_ry_cost, r_ry_cost, pel_stable_cost) = cost_stack.mean(axis=-1)
         l_foot_vel = foot_vel_seq[-1, 0]
         r_foot_vel = foot_vel_seq[-1, 1]
-        l_orient_cost = l_or.mean()
-        r_orient_cost = r_or.mean()
         motor_torque = diag_last.motor_torque
 
         # ---- phase advance (cassie.py:447-453) ----
@@ -740,24 +751,24 @@ class CassieEnv(Env):
                 pelvis_orientation=est.pelvis_orientation,
                 l_foot_orient_cost=l_orient_cost,
                 r_foot_orient_cost=r_orient_cost,
-                hiproll_cost=hiproll_seq.mean(), hiproll_act=hiproll_act,
-                hipyaw_vel=hipyaw_seq.mean(), hipyaw_act=hipyaw_act,
-                l_foot_cost_smooth=l_smooth_seq.mean(),
-                r_foot_cost_smooth=r_smooth_seq.mean(),
+                hiproll_cost=hiproll_cost, hiproll_act=hiproll_act,
+                hipyaw_vel=hipyaw_cost, hipyaw_act=hipyaw_act,
+                l_foot_cost_smooth=l_smooth_cost,
+                r_foot_cost_smooth=r_smooth_cost,
                 side_speed=state.side_speed, time=time_,
                 l_foot_orient=oscale * l_orient_cost,
                 r_foot_orient=oscale * r_orient_cost,
-                l_foot_cost=l_cost_seq.mean(), r_foot_cost=r_cost_seq.mean(),
-                l_foot_cost_even=l_even_seq.mean(),
-                r_foot_cost_even=r_even_seq.mean(),
-                l_foot_cost_var=l_var_seq.mean(),
-                r_foot_cost_var=r_var_seq.mean(),
-                l_foot_cost_clock=l_ck_seq.mean(),
-                r_foot_cost_clock=r_ck_seq.mean(),
-                torque_cost=torque_seq.mean(), smooth_cost=smooth_seq.mean(),
-                pel_stable=pel_stable_seq.mean(),
-                left_rollyaw_torque_cost=l_ry_seq.mean(),
-                right_rollyaw_torque_cost=r_ry_seq.mean(),
+                l_foot_cost=l_foot_cost, r_foot_cost=r_foot_cost,
+                l_foot_cost_even=l_even_cost,
+                r_foot_cost_even=r_even_cost,
+                l_foot_cost_var=l_var_cost,
+                r_foot_cost_var=r_var_cost,
+                l_foot_cost_clock=l_ck_cost,
+                r_foot_cost_clock=r_ck_cost,
+                torque_cost=torque_cost, smooth_cost=smooth_cost,
+                pel_stable=pel_stable_cost,
+                left_rollyaw_torque_cost=l_ry_cost,
+                right_rollyaw_torque_cost=r_ry_cost,
                 foot_pos=diag_last.foot_pos,
                 lfoot_vel=l_foot_vel, rfoot_vel=r_foot_vel,
                 l_high=l_high.astype(jnp.float32),
