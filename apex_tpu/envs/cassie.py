@@ -916,6 +916,7 @@ class CassieEnv(Env):
                 base = jnp.concatenate([
                     base, state.params.dof_damping, state.params.body_mass,
                     state.params.friction[None]])
+            base = jnp.where(jnp.isfinite(base), base, 0.0)
             hist = jnp.roll(state.obs_history, 1, axis=0).at[0].set(base)
             return hist.reshape(-1), hist
 
@@ -955,5 +956,11 @@ class CassieEnv(Env):
             base = jnp.concatenate([
                 base, state.params.dof_damping, state.params.body_mass,
                 state.params.friction[None]])
+        # a physics blow-up NaNs the estimator outputs one step before the
+        # qpos/qvel termination guards fire; a single NaN frame poisons
+        # the obs normalizer's running stats PERMANENTLY (observed: the
+        # mk5b run collapsed to eval 0/len 1 mid-training). Sanitize at
+        # the single obs chokepoint.
+        base = jnp.where(jnp.isfinite(base), base, 0.0)
         hist = jnp.roll(state.obs_history, 1, axis=0).at[0].set(base)
         return hist.reshape(-1), hist
