@@ -36,6 +36,12 @@ def _common_env_args(parser):
     # --estimator exact
     parser.add_argument("--estimator", default="firmware", type=str,
                         choices=["exact", "firmware"])
+    # round-5 heading curriculum (default OFF = reference parity)
+    parser.add_argument("--min_speed", default=-0.3, type=float)
+    parser.add_argument("--max_speed", default=4.0, type=float)
+    parser.add_argument("--orient_jump_prob", default=0.0, type=float)
+    parser.add_argument("--speed_phase_add", default=False,
+                        action="store_true")
 
 
 def _env_kwargs(args):
@@ -231,14 +237,30 @@ def main():
                 res = eval_suites.eval_commands(env, policy_fn)
                 print(res)
             elif args.suite == "mission":
-                res = eval_suites.eval_mission(policy_fn,
-                                               mission=args.mission)
+                def playground_policy_fn(obs):
+                    # playground's command appendix is [sin, cos, speed];
+                    # a Cassie-v0 clock policy expects an extra
+                    # side_speed (missions command none -> append 0)
+                    import jax.numpy as jnp
+
+                    if obs.shape[-1] == env.observation_size - 1:
+                        obs = jnp.concatenate(
+                            [obs, jnp.zeros(obs.shape[:-1] + (1,))],
+                            axis=-1)
+                    return state.actor.act(state.norm, obs,
+                                           deterministic=True)
+
+                res = eval_suites.eval_mission(playground_policy_fn,
+                                               mission=args.mission,
+                                               simrate=env.simrate)
+                res = {k: v for k, v in res.items()
+                       if not hasattr(v, "shape") or v.ndim == 0}
                 print(res)
             elif args.suite == "sensitivity":
                 res = eval_suites.eval_sensitivity(env, policy_fn)
                 print(res)
             elif args.suite == "5k":
-                res = eval_suites.eval_5k_matrix(policy_fn)
+                res = eval_suites.eval_5k_matrix(policy_fn, env)
                 print("5k pass rate:", res["pass_rate"])
                 for ax in ("by_mission", "by_speed", "by_terrain",
                            "by_friction", "by_foot_mass"):

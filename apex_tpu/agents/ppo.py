@@ -569,7 +569,11 @@ def run_experiment(args):
         history=args.history, traj=getattr(args, "traj", "walking"),
         no_delta=getattr(args, "no_delta", True),
         ik_baseline=getattr(args, "ik_baseline", False),
-        estimator=getattr(args, "estimator", "firmware"))
+        estimator=getattr(args, "estimator", "firmware"),
+        min_speed=getattr(args, "min_speed", -0.3),
+        max_speed=getattr(args, "max_speed", 4.0),
+        orient_jump_prob=getattr(args, "orient_jump_prob", 0.0),
+        speed_phase_add=getattr(args, "speed_phase_add", False))
 
     # the CLI default --num_procs 64 mirrors the reference's CPU worker
     # count (apex.py:244), but a 64-env fleet leaves a TPU chip ~94% idle:
