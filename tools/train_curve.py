@@ -100,10 +100,11 @@ def main():
         # reference-trajectory PPO on the agility walking trajectory
         from apex_tpu.envs.cassie_traj import CassieTrajEnv
 
+        if args.reward == "early_clock":
+            args.reward = "iros_paper"   # traj default; recorded as such
         env = CassieTrajEnv(
             dynamics_randomization=args.dyn_random,
-            reward=args.reward if args.reward != "early_clock"
-            else "iros_paper", simrate=args.simrate)
+            reward=args.reward, simrate=args.simrate)
         env_name = "CassieTraj-v0"
     else:
         from apex_tpu.envs.walker2d import Walker2dEnv
