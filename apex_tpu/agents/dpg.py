@@ -336,7 +336,10 @@ class DPG:
             return ((actor, actor_t, critic, critic_t, a_opt, c_opt),
                     jnp.stack([c_loss, a_loss]))
 
-        keys = jax.random.split(k_updates, max(1, cfg.updates_per_iter // 8))
+        # full update budget: the round-4 //8 throttle left RDPG with ~10
+        # BPTT updates per 25k collected steps -- an order of magnitude
+        # under the reference's per-step update cadence (dpg.py:312-325)
+        keys = jax.random.split(k_updates, max(1, cfg.updates_per_iter))
         carry = (state.actor, state.actor_target, state.critic,
                  state.critic_target, state.actor_opt, state.critic_opt)
         carry, losses = jax.lax.scan(update, carry, keys)
